@@ -1,0 +1,198 @@
+package graft.functions
+
+import graft.QueryPack
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text pipeline operators.
+  *
+  * Reference parity (SURVEY.md §2.3, §2.11):
+  *  - TokenCountMapper + LongSumReducer (WordCount) → explode(split).groupBy.count
+  *  - Grep (two chained MR jobs: regex-extract→sum, then swap→sort-desc) →
+  *    one declarative plan; no intermediate HDFS materialization (the
+  *    reference wrote the first job's output to disk — SURVEY §4.2).
+  *  - Logalyzer (grep+sort) → filter(regexp)+orderBy (covered by grep here)
+  *
+  * Training-data extensions (north-star mandate): token counting (whitespace
+  * and BPE-ish regex), language-ID by stopword profile, quality scoring,
+  * document fingerprinting. All are narrow per-row ops or
+  * explode→aggregate pipelines: at 100 TB they scan once, shuffle only
+  * (token, partial-count) pairs, and stay in whole-stage codegen.
+  */
+object TextOps extends QueryPack {
+
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** WordCount: the canonical pipeline. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+  }
+
+  /** Grep parity: extract-all(pattern) → count → sort desc (job2's swap+sort). */
+  def grep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(text, '(s\\\\w+k)', 1)")).as("match"))
+      .groupBy($"match").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"match")
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars — the GPT-2 pre-tokenizer
+    * shape without the library).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(tokens($"text"), t => t =!= "")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: length/token/stopword stats per document — the
+    * classic pre-training filters (Gopher/C4-style), exact-arithmetic so the
+    * oracle hash-matches: ratios are int-sum / int-count divisions.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(tokens($"text"), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isin(stopEn: _*))).as("n_stopwords"),
+        size(filter(toks, t => length(t) > 8)).as("n_long_tokens"))
+      .withColumn("mean_token_len",
+        ($"n_chars" - ($"n_tokens" - lit(1))).cast("double") / $"n_tokens")
+      .withColumn("stopword_ratio", $"n_stopwords".cast("double") / $"n_tokens")
+      .withColumn("keep",
+        ($"n_tokens" >= 10) && ($"stopword_ratio" >= 0.01) && ($"mean_token_len" <= 12.0))
+      .orderBy($"doc_id")
+  }
+
+  private val langStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "den"))
+
+  /** Language-ID: n-gram/stopword heuristic — count stopword hits per
+    * language profile, pick argmax with fixed precedence (de<en<es<fr<zh,
+    * 'und' = unknown when all scores are 0); CJK detected by codepoint class.
+    * Deterministic, SQL-expressible, embarrassingly parallel.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(tokens($"text"), t => t =!= "")
+    val scoreCols = Seq(
+      $"doc_id", $"lang".as("labeled_lang"),
+      size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("s_zh")) ++
+      langStops.toSeq.sortBy(_._1).map { case (l, ws) =>
+        size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+      }
+    val scored = Tables.documents(spark, dir).select(scoreCols: _*)
+    scored.withColumn("pred_lang",
+      when($"s_zh" > 0, lit("zh"))
+        .when(greatest($"s_de", $"s_en", $"s_es", $"s_fr") === lit(0), lit("und"))
+        .when($"s_de" >= greatest($"s_en", $"s_es", $"s_fr"), lit("de"))
+        .when($"s_en" >= greatest($"s_es", $"s_fr"), lit("en"))
+        .when($"s_es" >= $"s_fr", lit("es"))
+        .otherwise(lit("fr")))
+      .select($"doc_id", $"labeled_lang", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: md5 of normalized text (exact-dup key) plus a
+    * shingle-min fingerprint (min md5 over 3-token shingles — a 1-permutation
+    * MinHash, stable under small edits).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    val toks = tokens(norm)
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(norm).as("doc_md5"),
+        array_min(transform(shingles, s => md5(s))).as("shingle_min_md5"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount" -> (wordCount _),
+    "text_grep" -> (grep _),
+    "text_token_count" -> (tokenCount _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+  override def oracle: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY n DESC, word""".stripMargin,
+    "text_grep" ->
+      """SELECT m AS match, COUNT(*) AS n
+        |FROM (SELECT UNNEST(regexp_extract_all(text, '(s\w+k)', 1)) AS m FROM documents)
+        |GROUP BY m ORDER BY n DESC, m""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len($duckToks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter($duckToks,
+         |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS INT) AS n_stopwords,
+         |    CAST(len(list_filter($duckToks, t -> len(t) > 8)) AS INT) AS n_long_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, n_stopwords, n_long_tokens,
+         |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+         |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.01
+         |   AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS s_zh,
+         |    len(list_filter($duckToks, t -> t IN ('der','die','und','das','von','mit','den'))) AS s_de,
+         |    len(list_filter($duckToks, t -> t IN ('the','and','of','to','a','in','is'))) AS s_en,
+         |    len(list_filter($duckToks, t -> t IN ('el','la','de','que','y','en','los'))) AS s_es,
+         |    len(list_filter($duckToks, t -> t IN ('le','la','de','et','les','des','un'))) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN s_zh > 0 THEN 'zh'
+         |       WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n)
+        |SELECT doc_id, md5(norm) AS doc_md5,
+        |  list_min(list_transform(
+        |    list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')),
+        |    s -> md5(s))) AS shingle_min_md5
+        |FROM t ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2.5).
+  *
+  * Reference parity:
+  *  - Combiner / partial aggregation (`JobConf.setCombinerClass`, applied in
+  *    `MapTask$MapOutputBuffer` spills): automatic — Catalyst splits every
+  *    `groupBy.agg` into partial + final `HashAggregateExec`, which is the
+  *    map-side-combine design generalized. Nothing to build; the specs
+  *    assert the physical plan contains the partial stage.
+  *  - `LongSumReducer` / `IntSumReducer` → `groupBy(k).agg(sum(v))`.
+  *  - `ValueAggregatorJob` (config-driven multi-aggregate framework) →
+  *    one `groupBy.agg` computing the whole descriptor list in a single
+  *    pass (`multi_agg`), plus the registry in [[graft.functions.AggRegistry]].
+  *  - `UniqValueCount` (exact distinct + capped retained list) →
+  *    `countDistinct` + `slice(sort_array(collect_set(v)), 1, cap)`.
+  *  - `ValueHistogram` → custom Aggregator in [[graft.functions.ValueHistogram]];
+  *    the query here is the composed two-level form the oracle can check.
+  *  - cube/rollup/pivot: absent in the reference (hand-written MR);
+  *    exposed as built-ins.
+  *
+  * Scale: all of these are hash aggregations with map-side partials — at
+  * 100 TB the shuffle carries only (group key × partial state), never raw
+  * rows. Group-key cardinality here is tiny (flags/types), so the shuffle is
+  * bytes, not gigabytes, regardless of input size.
+  */
+object Aggregates extends QueryPack {
+  import QueryPack.decSumSql
+
+  /** Exact order-independent sum of doubles via decimal (see QueryPack). */
+  private def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary — the flagship scan→filter→agg→sort.
+    * Reference shape: `src/examples/.../AggregateWordCount.java`-era
+    * hand-built combiner jobs; here one declarative plan.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"), // integral-valued: double sum is exact
+        decSum($"l_extendedprice").as("sum_base_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (decSum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** LongSumReducer parity: SUM(v) GROUP BY k. */
+  def sumByKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** ValueAggregatorJob parity: the full descriptor set (sum/min/max/count/
+    * uniq) computed in ONE pass over the data — the framework's whole point.
+    */
+  def multiAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum($"value").as("sum_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        countDistinct($"user_id").as("n_users"),
+        min($"user_id").as("min_user"),
+        max($"user_id").as("max_user"))
+      .orderBy($"event_type")
+  }
+
+  /** UniqValueCount parity: exact distinct count + capped retained item list
+    * (`maxNumItems`). The cap is what made it safe at scale in the reference;
+    * here the capped list is `slice(sort_array(collect_set))` and the
+    * scale-safe variant is `approx_count_distinct` (see approxDistinct).
+    */
+  def uniqValueCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_distinct"),
+        slice(sort_array(collect_set($"user_id")), 1, 5).as("first_users"))
+      .orderBy($"event_type")
+  }
+
+  /** ValueHistogram parity (composed form): per key, stats over the
+    * per-value counts. Exact long-typed moments (sum, sum-of-squares)
+    * instead of float stddev so the oracle hash-matches bit-for-bit.
+    * One-pass Aggregator variant: [[graft.functions.ValueHistogram]].
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_distinct_values"),
+        min($"cnt").as("min_count"),
+        max($"cnt").as("max_count"),
+        sum($"cnt").as("total_count"),
+        sum($"cnt" * $"cnt").as("sum_sq_count"))
+      .orderBy($"event_type")
+  }
+
+  /** Grouping sets: absent in the reference, exposed as built-in `cube`. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Pivot: groupBy.pivot with explicit value list (never scan-infer the
+    * pivot domain at 100 TB). Oracle form: FILTERed counts.
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** HLL approximate distinct — the 100 TB path for UniqValueCount.
+    * No DuckDB oracle (different sketch); rows-only check + spec asserts
+    * relative error < 5% vs exact on test data.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "agg_sum_by_key" -> (sumByKey _),
+    "agg_multi" -> (multiAgg _),
+    "agg_uniq_value_count" -> (uniqValueCount _),
+    "agg_value_histogram" -> (valueHistogram _),
+    "agg_cube" -> (cubeAgg _),
+    "agg_rollup" -> (rollupAgg _),
+    "agg_pivot" -> (pivotAgg _),
+    "agg_approx_distinct" -> (approxDistinct _))
+
+  override def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${decSumSql("l_extendedprice", "sum_base_price")},
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
+         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_sum_by_key" ->
+      """SELECT l_orderkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_multi" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${decSumSql("value", "sum_value")},
+         |  MIN(value) AS min_value, MAX(value) AS max_value,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_uniq_value_count" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct,
+        |  (LIST_SORT(LIST(DISTINCT user_id)))[1:5] AS first_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_value_histogram" ->
+      """SELECT event_type, COUNT(*) AS n_distinct_values,
+        |  MIN(cnt) AS min_count, MAX(cnt) AS max_count,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_count,
+        |  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq_count
+        |FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+        |      FROM events GROUP BY event_type, user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${decSumSql("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

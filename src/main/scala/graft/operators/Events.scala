@@ -1,0 +1,9 @@
+package graft.operators
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Events extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  override def oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,9 @@
+package graft.sources
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Formats extends QueryPack {
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  override def oracle: Map[String, String] = Map()
+}
