@@ -1,9 +1,148 @@
 package graft.operators
 
 import graft.QueryPack
+import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** Event-time operators over the `events` table (SURVEY.md §2.9).
+  *
+  * The reference is batch-only ("realtime HDFS" = append/hflush; the
+  * namespace-notifier is a change feed — storage concerns, not stream
+  * processing). These are the new capabilities exposed batch-first so the
+  * DuckDB oracle can check the exact same `window()` semantics that the
+  * Structured Streaming pack ([[graft.streaming.EventStreams]]) runs
+  * incrementally with watermarks.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregations on
+  * (window, key) — partial-agg before shuffle, so 100 TB of events reduce
+  * to (n_windows × n_types) rows. Sessionization is one shuffle on user_id
+  * + per-user ordered pass (gaps-and-islands), the same shape Structured
+  * Streaming's state store maintains incrementally.
+  */
 object Events extends QueryPack {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracle: Map[String, String] = Map()
+
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Tumbling 10-minute event-time windows. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), decSum($"value").as("sum_value"))
+      .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Sliding windows: 10-minute length, 5-minute slide (each event lands in
+    * exactly two windows).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"n")
+      .orderBy($"w_start")
+  }
+
+  /** Session windows per user, 30-minute gap. Spark's session_window end =
+    * last event + gap; the oracle reproduces that with gaps-and-islands.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), decSum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** JSON property access (events.props): the reference had no JSON support
+    * at all (arbitrary Java in map()); `get_json_object` is the operator.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Deterministic dedup-with-policy: earliest event per (user, type).
+    * (`dropDuplicates` keeps an arbitrary row — fine for streaming
+    * dedup-by-id, wrong for an oracle; min_by policy is the reproducible
+    * batch equivalent, and what dropDuplicatesWithinWatermark approximates
+    * with event-id keys.)
+    */
+  def firstEventPerUserType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_tumbling" -> (tumbling _),
+    "evt_sliding" -> (sliding _),
+    "evt_sessions" -> (sessions _),
+    "evt_json_props" -> (jsonProps _),
+    "evt_first_per_user_type" -> (firstEventPerUserType _))
+
+  override def oracle: Map[String, String] = Map(
+    "evt_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+        |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+    "evt_sliding" ->
+      """WITH expanded AS (
+        |  SELECT UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start
+        |  FROM events)
+        |SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, COUNT(*) AS n
+        |FROM expanded GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "evt_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    -- Spark session end is exclusive (last_ts + gap), so an event at
+        |    -- exactly prev + gap starts a NEW session: >= not >
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "evt_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS min_k,
+        |  MAX(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "evt_first_per_user_type" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
 }

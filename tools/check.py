@@ -20,6 +20,8 @@ def canon(v):
         return v
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "isoformat"):  # datetime / pandas Timestamp / date
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
