@@ -1,9 +1,179 @@
 package graft.functions
 
 import graft.QueryPack
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators over `documents` (north-star extension,
+  * SURVEY.md §7.2 step 8).
+  *
+  * Tiers, cheapest to most robust:
+  *  - exact: sha2(normalized text) → canonical = min doc_id per hash. One
+  *    shuffle on a 32-byte key at any scale.
+  *  - n-gram Jaccard (exact near-dup): 3-token shingles, self-join on
+  *    shingle, |∩| / |∪|. Correctness baseline; O(pairs sharing a shingle).
+  *  - MinHash + LSH banding (scale path): k=16 min-hashes, 8 bands × 2
+  *    rows; candidates only meet within a band bucket, then exact-verify.
+  *    At 100 TB the shingle self-join above is infeasible (hot shingles
+  *    explode); banding bounds the join to near-certain candidates.
+  *    Planted near-dups in the test data sit at Jaccard ≥ 0.88, where
+  *    P(candidate) = 1-(1-s²)^8 ≈ 1 — recall asserted in DedupSpec.
+  *  - SimHash: 64-bit weighted-token signature; near-dups differ in ≤ k
+  *    bits. Emitted as doc→signature (the index table); pairing is a
+  *    bucketed hamming join in DedupSpec.
+  */
 object DedupOps extends QueryPack {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracle: Map[String, String] = Map()
+
+  private def normText: Column = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+
+  /** doc_id → distinct 3-token shingles (exploded). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split(normText, " ").as("toks"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
+        i => concat_ws(" ", slice($"toks", i, lit(3))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: canonical id per normalized-content hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"content_sha")
+    Tables.documents(spark, dir)
+      .select($"doc_id", sha2(normText, 256).as("content_sha"))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select($"doc_id", $"content_sha", $"canonical_id", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir)
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.select($"doc_id".as("d1"), $"shingle")
+      .join(sh.select($"doc_id".as("d2"), $"shingle"), Seq("shingle"))
+      .filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(counts.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"common", $"n1", $"n2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  val NumHashes = 16
+  val BandRows = 2 // 8 bands x 2 rows
+
+  /** MinHash signature columns mh_0..mh_15: min over shingles of a seeded
+    * 64-bit hash. Seeding via prefix keeps it pure-SQL (xxhash64's seed is
+    * fixed in the function API).
+    */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min(xxhash64(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup: band-bucket candidates, exact-verify, emit pairs
+    * with their true Jaccard. Rows-only check (sketch path); DedupSpec
+    * asserts it finds exactly the planted ≥0.5 pairs on the test data.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir).cache()
+    val sigs = minhashSignatures(sh)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("bh"))
+    }
+    val candidates = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode($"docs").as("d1"), $"docs")
+      .select($"d1", explode($"docs").as("d2"))
+      .filter($"d1" < $"d2")
+      .distinct()
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"shingle".as("s2")), Seq("d2"))
+      .filter($"shingle" === $"s2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(counts.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** SimHash: 64-bit signature; bit b set iff Σ_tokens count·(±1) > 0,
+    * sign from bit b of xxhash64(token). Emitted as the signature index
+    * table (hex), the artifact a hamming-distance pairing job consumes.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokenCounts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(normText, " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", xxhash64($"token"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright($"th", b).bitwiseAND(lit(1L)) === 1L, $"cnt")
+        .otherwise(-$"cnt")).as(s"v_$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    tokenCounts.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", lpad(hex(sig), 16, "0").as("simhash_hex"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  private val duckShingles =
+    """WITH nt AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM nt, UNNEST(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS u(i)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_sha
+        |  FROM documents)
+        |SELECT doc_id, content_sha,
+        |  MIN(doc_id) OVER (PARTITION BY content_sha) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY content_sha) AS n_copies
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$duckShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, common, ca.n AS n1, cb.n AS n2,
+         |  common * 1.0 / (ca.n + cb.n - common) AS jaccard
+         |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+         |ORDER BY d1, d2""".stripMargin)
 }

@@ -1,9 +1,159 @@
 package graft.functions
 
 import graft.QueryPack
+import graft.core.Tables
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (north-star extension,
+  * SURVEY.md §7.2 step 8).
+  *
+  * Three tiers:
+  *  - `sim_cosine_topk`: brute-force exact top-k via the native codegen
+  *    [[graft.expr.CosineSimilarity]] — the correctness baseline. Queries
+  *    are broadcast, so the candidate side streams through one codegen
+  *    stage: at 100 TB this is a single scan, no shuffle.
+  *  - `sim_ann_lsh`: random-hyperplane LSH — each vector hashed to a
+  *    16-bit signature bucket; candidates only meet within a bucket. This
+  *    is the scale path: the all-pairs O(n²) becomes O(Σ bucket²), one
+  *    shuffle on bucket id.
+  *  - `sim_pairs_threshold`: all pairs above a cosine threshold
+  *    (embedding near-dup dedup) — exact small-n form; at scale the same
+  *    verify step runs on LSH candidates instead of all pairs.
+  *
+  * Hyperplanes are a fixed seeded constant (reproducible across runs and
+  * cluster sizes — an index built today must match one built tomorrow).
+  */
 object SimilarityOps extends QueryPack {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracle: Map[String, String] = Map()
+
+  val Dim = 64
+  val NPlanes = 16
+
+  /** Seeded Rademacher (±1) hyperplanes: deterministic, no data dependence. */
+  lazy val hyperplanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NPlanes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    c.join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val NTables = 4
+  val PlanesPerTable = 4 // NPlanes = NTables * PlanesPerTable
+
+  /** Random-hyperplane LSH ANN, banded: 4 hash tables of 4 planes each.
+    * A vector lands in one bucket per table; candidates are pairs sharing
+    * ANY (table, bucket) — the OR-of-ANDs construction that trades a
+    * constant factor of duplication for recall. All-pairs O(n²) becomes
+    * O(Σ bucket²) with one shuffle on (table, bucket).
+    * Rows-only check (sketch-specific); SimilaritySpec asserts recall vs
+    * the brute-force baseline on the test data.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val tableBuckets = (0 until NTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { p =>
+        val plane = t * PlanesPerTable + p
+        when(expr(s"dot_product(embedding, element_at(planes, ${plane + 1}))") > 0.0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    val bucketed = Tables.embeddings(spark, dir)
+      .withColumn("planes", typedLit(hyperplanes))
+      .select($"vec_id", $"embedding", explode(array(tableBuckets: _*)).as("tb"))
+    val a = bucketed.select($"tb", $"vec_id".as("v1"), $"embedding".as("e1"))
+    val b = bucketed.select($"tb", $"vec_id".as("v2"), $"embedding".as("e2"))
+    val pairs = a.join(b, Seq("tb")).filter($"v1" =!= $"v2")
+      .select($"v1", $"v2", $"e1", $"e2").distinct()
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+    val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"v1".as("vec_id"), $"v2".as("nearest_in_bucket"), round($"cos", 6).as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  /** Embedding near-dup: all pairs with cosine >= 0.4 (exact form). */
+  def pairsAboveThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1"))
+    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2"))
+    a.join(b, $"v1" < $"v2")
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .filter($"cos" >= 0.4)
+      .select($"v1", $"v2", $"l1", $"l2", round($"cos", 6).as("cos"))
+      .orderBy($"v1", $"v2")
+  }
+
+  /** Label-filtered search: nearest same-label neighbor per vector —
+    * the "find me more like this, within this class" pipeline query.
+    */
+  def nearestSameLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
+    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
+    val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
+    a.join(b, Seq("label")).filter($"v1" =!= $"v2")
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"v1".as("vec_id"), $"label", $"v2".as("nearest"), round($"cos", 6).as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_pairs_threshold" -> (pairsAboveThreshold _),
+    "sim_nearest_same_label" -> (nearestSameLabel _))
+
+  override def oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q_id, e.vec_id AS c_id,
+        |        list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q JOIN embeddings e ON e.vec_id <> q_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |      FROM s)
+        |SELECT q_id, CAST(rn AS INT) AS rank, c_id, ROUND(cos, 6) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+    "sim_pairs_threshold" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS l1, b.label AS l2,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
+    "sim_nearest_same_label" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT v1, label, v2, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) AS rn
+        |      FROM s)
+        |SELECT v1 AS vec_id, label, v2 AS nearest, ROUND(cos, 6) AS cos
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.expr.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native Catalyst functions.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` (cluster config),
+  *  - [[GraftFunctions.register]] on an existing session (what Verify/Bench
+  *    and the specs use).
+  * After either, `cosine_sim` / `dot_product` are available in SQL text and
+  * via `expr(...)`, fully inside whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit = descriptors.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}
