@@ -21,7 +21,8 @@ object SparkEntry {
     graft.functions.TextOps,
     graft.functions.DedupOps,
     graft.functions.SimilarityOps,
-    graft.functions.MultimodalOps)
+    graft.functions.MultimodalOps,
+    graft.streaming.StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import scala.collection.mutable
+
+/** ValueHistogram report: stats over the per-value counts of a key's
+  * values — the reference's report minus float stddev (exact long moments
+  * instead; mean/stddev derive from total/sumSq).
+  * Reference: `src/mapred/.../lib/aggregate/ValueHistogram.java`
+  * anchor:`getReport`.
+  */
+case class HistReport(
+    nDistinctValues: Long, minCount: Long, maxCount: Long,
+    totalCount: Long, sumSqCount: Long)
+
+/** One-pass ValueHistogram as a typed Aggregator (SURVEY.md §7.2 step 4's
+  * flagship custom UDAF): buffer is value→count; merge is map-union — so
+  * Catalyst runs it partial/final exactly like the reference's
+  * Combiner-enabled histogram job, shuffling only the (distinct-values ×
+  * count) map, never rows.
+  */
+object ValueHistogram extends Aggregator[String, mutable.Map[String, Long], HistReport] {
+  override def zero: mutable.Map[String, Long] = mutable.Map.empty
+
+  override def reduce(b: mutable.Map[String, Long], v: String): mutable.Map[String, Long] = {
+    b.update(v, b.getOrElse(v, 0L) + 1L); b
+  }
+
+  override def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+    b.foreach { case (k, n) => a.update(k, a.getOrElse(k, 0L) + n) }; a
+  }
+
+  override def finish(m: mutable.Map[String, Long]): HistReport = {
+    if (m.isEmpty) HistReport(0, 0, 0, 0, 0)
+    else {
+      var mn = Long.MaxValue; var mx = Long.MinValue; var tot = 0L; var sq = 0L
+      m.valuesIterator.foreach { c =>
+        if (c < mn) mn = c; if (c > mx) mx = c; tot += c; sq += c * c
+      }
+      HistReport(m.size.toLong, mn, mx, tot, sq)
+    }
+  }
+
+  override def bufferEncoder: Encoder[mutable.Map[String, Long]] =
+    Encoders.kryo[mutable.Map[String, Long]]
+  override def outputEncoder: Encoder[HistReport] = Encoders.product[HistReport]
+}
+
+/** Output of [[CappedUniq]]. */
+case class UniqReport(nDistinct: Long, items: Seq[Long])
+
+/** UniqValueCount with the reference's item cap: exact distinct count plus
+  * at most `cap` retained items (sorted, so the retained set is
+  * deterministic — the reference kept insertion order, which isn't
+  * reproducible distributed).
+  * Reference: `.../lib/aggregate/UniqValueCount.java` anchor:`maxNumItems`.
+  */
+class CappedUniq(cap: Int) extends Aggregator[Long, mutable.Set[Long], UniqReport] {
+  override def zero: mutable.Set[Long] = mutable.Set.empty
+  override def reduce(b: mutable.Set[Long], v: Long): mutable.Set[Long] = { b += v; b }
+  override def merge(a: mutable.Set[Long], b: mutable.Set[Long]): mutable.Set[Long] = a ++= b
+  override def finish(s: mutable.Set[Long]): UniqReport =
+    UniqReport(s.size.toLong, s.toSeq.sorted.take(cap))
+  override def bufferEncoder: Encoder[mutable.Set[Long]] = Encoders.kryo[mutable.Set[Long]]
+  override def outputEncoder: Encoder[UniqReport] = Encoders.product[UniqReport]
+}
+
+/** Config-driven aggregator registry — the moral successor of
+  * `ValueAggregatorJob`'s descriptor strings ("LongValueSum:col", ...):
+  * one `groupBy.agg` computes the whole descriptor list in a single pass.
+  * Reference: `.../lib/aggregate/ValueAggregatorBaseDescriptor.java`
+  * anchor:`generateValueAggregator`.
+  */
+object AggRegistry {
+  private def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Parse "Type:column" descriptors into aggregation columns. */
+  def fromDescriptors(descriptors: Seq[String]): Seq[Column] = descriptors.map { d =>
+    d.split(":") match {
+      case Array("LongValueSum", c)    => sum(col(c)).as(s"sum_$c")
+      case Array("DoubleValueSum", c)  => decSum(col(c)).as(s"sum_$c")
+      case Array("LongValueMax", c)    => max(col(c)).as(s"max_$c")
+      case Array("LongValueMin", c)    => min(col(c)).as(s"min_$c")
+      case Array("StringValueMax", c)  => max(col(c)).as(s"max_$c")
+      case Array("StringValueMin", c)  => min(col(c)).as(s"min_$c")
+      case Array("UniqValueCount", c)  => countDistinct(col(c)).as(s"uniq_$c")
+      case Array("ValueCount", c)      => count(col(c)).as(s"cnt_$c")
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregator descriptor: ${other.mkString(":")}")
+    }
+  }
+}

@@ -1,9 +1,202 @@
 package graft.sources
 
 import graft.QueryPack
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Sources & sinks (SURVEY.md §2.1, §2.2).
+  *
+  * Parquet is the primary format (every other pack reads it); this pack
+  * covers the rest of the reference's format surface as ROUND-TRIPS: derive
+  * rows from a parquet table, write them through the format under test to a
+  * scratch dir, read them back with the corresponding reader, and let the
+  * DuckDB oracle (which only sees the original parquet) confirm nothing was
+  * lost or mangled.
+  *
+  * Parity map:
+  *  - TextInputFormat/TextOutputFormat (`key TAB value` lines) → read/write.text
+  *  - KeyValueTextInputFormat (split at FIRST tab; value may contain tabs)
+  *    → split(line, '\t', 2) — the limit-2 split is the semantic to test
+  *  - CSV (StreamInputFormat-ish delimited) → read/write.csv with schema
+  *  - SequenceFile → RDD bridge saveAsSequenceFile / sc.sequenceFile
+  *  - MultipleOutputs / MultipleOutputFormat keyed demux → write.partitionBy
+  *  - DBInputFormat/DBOutputFormat → read/write.jdbc (embedded Derby)
+  *  - Hadoop Streaming (PipeMapper) → SQL TRANSFORM ... USING 'cmd'
+  *  - CombineFileInputFormat (small-file packing) → automatic via
+  *    maxPartitionBytes/openCostInBytes (FormatsSpec asserts split coalescing)
+  *
+  * Scale: every writer here produces splittable output (text/csv/parquet
+  * part files, sequence files with sync markers), so a 1000-executor read
+  * parallelizes; partitionBy demux gives partition pruning on the read side.
+  */
 object Formats extends QueryPack {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracle: Map[String, String] = Map()
+
+  private def scratch(name: String): String = s"/tmp/graft_fmt/$name"
+
+  /** TextOutputFormat → TextInputFormat round-trip (TAB-joined fields). */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("text_docs")
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", $"doc_id", $"lang", $"n_chars").as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+      .select(split($"value", "\t").as("f"))
+      .select(
+        element_at($"f", 1).cast("bigint").as("doc_id"),
+        element_at($"f", 2).as("lang"),
+        element_at($"f", 3).cast("bigint").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** KeyValueTextInputFormat: split at the FIRST tab only — the value keeps
+    * its embedded tabs (limit-2 split), then parses further.
+    */
+  def kvTextFirstTab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("kv_events")
+    Tables.events(spark, dir)
+      .select(concat_ws("\t", $"event_id", $"event_type", $"user_id").as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+      .select(split($"value", "\t", 2).as("kv"))
+      .select(
+        element_at($"kv", 1).cast("bigint").as("event_id"),
+        element_at($"kv", 2).as("v")) // still contains a tab
+      .select($"event_id",
+        split($"v", "\t").getItem(0).as("event_type"),
+        split($"v", "\t").getItem(1).cast("bigint").as("user_id"))
+      .orderBy($"event_id")
+  }
+
+  /** CSV round-trip with explicit schema (never infer at scale). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("csv_orders")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+    spark.read.option("header", "true").schema(schema).csv(path)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** SequenceFile round-trip via the RDD bridge (the compat path for native
+    * KV files; parquet remains the primary store).
+    */
+  def sequenceFileRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("seq_docs")
+    val rdd = Tables.documents(spark, dir)
+      .select($"doc_id".cast("string"), $"text")
+      .as[(String, String)].rdd
+    // overwrite semantics for the raw-RDD writer
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hconf).delete(p, true)
+    rdd.saveAsSequenceFile(path)
+    spark.sparkContext.sequenceFile[String, String](path)
+      .toDF("doc_id", "text")
+      .select($"doc_id".cast("bigint").as("doc_id"), md5($"text").as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** MultipleOutputs keyed demux → partitionBy; read back relies on
+    * partition discovery (and gives partition pruning, MapFile-ish
+    * point lookups by key).
+    */
+  def partitionedDemux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("demux_docs")
+    Tables.documents(spark, dir)
+      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  /** DBOutputFormat/DBInputFormat parity: JDBC round-trip through embedded
+    * Derby (batched INSERTs out, partitioned SELECT back).
+    */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = "jdbc:derby:/tmp/graft_derby/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("sum_price"))
+      .write.mode(SaveMode.Overwrite).jdbc(url, "cust_orders", props)
+    spark.read.jdbc(url, "cust_orders", props)
+      .orderBy($"o_custkey")
+  }
+
+  /** Hadoop Streaming parity: SQL TRANSFORM pipes rows through a subprocess
+    * with the TAB-delimited line protocol (PipeMapper/PipeReducer).
+    */
+  def scriptTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select($"event_type").createOrReplaceTempView("graft_st_events")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n FROM (
+        |  SELECT TRANSFORM(event_type) USING 'cat' AS (event_type STRING)
+        |  FROM graft_st_events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** rdd.pipe form (typed wrapper over the same subprocess protocol). */
+  def pipeWordTails(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val piped = Tables.documents(spark, dir)
+      .select($"text").as[String].rdd
+      .pipe(Seq("/usr/bin/awk", "{print $NF}")) // last token per line
+    piped.toDF("last_word")
+      .groupBy($"last_word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"last_word")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_text_roundtrip" -> (textRoundtrip _),
+    "fmt_kv_first_tab" -> (kvTextFirstTab _),
+    "fmt_csv_roundtrip" -> (csvRoundtrip _),
+    "fmt_sequencefile" -> (sequenceFileRoundtrip _),
+    "fmt_partitioned_demux" -> (partitionedDemux _),
+    "fmt_jdbc_roundtrip" -> (jdbcRoundtrip _),
+    "fmt_script_transform" -> (scriptTransform _),
+    "fmt_pipe_word_tails" -> (pipeWordTails _))
+
+  override def oracle: Map[String, String] = Map(
+    "fmt_text_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "fmt_kv_first_tab" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "fmt_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "fmt_sequencefile" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "fmt_partitioned_demux" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "fmt_jdbc_roundtrip" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "fmt_script_transform" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "fmt_pipe_word_tails" ->
+      """SELECT last_word, COUNT(*) AS n FROM (
+        |  SELECT toks[len(toks)] AS last_word FROM (
+        |    SELECT string_split_regex(text, '\s+') AS toks FROM documents))
+        |GROUP BY last_word ORDER BY n DESC, last_word""".stripMargin)
 }

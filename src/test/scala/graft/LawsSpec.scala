@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Property laws ported from the reference's validator philosophy
+  * (SURVEY.md §5: SortValidator / TeraValidate / TestDatamerge check
+  * properties of output, not golden bytes). Random cases are seeded —
+  * reproducible, no network-resolved property-test bridge needed.
+  */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global sort is a permutation and globally ordered (SortValidator law)") {
+    // l_shipdate is TIMESTAMP_NTZ; its ISO string ordering is chronological
+    val sorted = graft.operators.Relational.globalSort(spark, sfDir)
+      .select($"l_shipdate".cast("string").as("k1"), $"l_orderkey", $"l_linenumber")
+      .collect()
+    val orig = Tables.lineitem(spark, sfDir)
+      .select($"l_shipdate".cast("string"), $"l_orderkey", $"l_linenumber").collect()
+    assert(sorted.length == orig.length)
+    // permutation: same multiset
+    assert(sorted.map(_.toString).sorted.sameElements(orig.map(_.toString).sorted))
+    // ordered: every adjacent pair non-decreasing on the composite key
+    val keys = sorted.map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(keys.zip(keys.tail).forall { case (a, b) => Ordering[(String, Long, Int)].lteq(a, b) })
+  }
+
+  test("inner join is contained in full outer join (TestDatamerge law)") {
+    val c = Tables.customer(spark, sfDir).select($"c_nationkey".as("k")).distinct()
+    val s = Tables.supplier(spark, sfDir).select($"s_nationkey".as("k")).distinct()
+    val inner = c.join(s, Seq("k")).select($"k").collect().map(_.getInt(0)).toSet
+    val outer = c.join(s, Seq("k"), "full_outer").select($"k").collect().map(_.getInt(0)).toSet
+    assert(inner.subsetOf(outer))
+  }
+
+  test("override join: rightmost wins, N-ary precedence (OverrideRecordReader law)") {
+    // scala reference model vs composed full_outer+coalesce, 3 snapshots
+    val rnd = new scala.util.Random(7)
+    def randMap(): Map[Int, Int] =
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(16) -> rnd.nextInt(1000)).toMap
+    (1 to 10).foreach { _ =>
+      val (a, b, c) = (randMap(), randMap(), randMap())
+      val expected = a ++ b ++ c // rightmost (latest) wins — the reference model
+      val da = a.toSeq.toDF("k", "v")
+      val db = b.toSeq.toDF("k2", "v2")
+      val dc = c.toSeq.toDF("k3", "v3")
+      val merged = da.join(db, $"k" === $"k2", "full_outer")
+        .select(coalesce($"k2", $"k").as("k"), coalesce($"v2", $"v").as("v"))
+        .join(dc, $"k" === $"k3", "full_outer")
+        .select(coalesce($"k3", $"k").as("k"), coalesce($"v3", $"v").as("v"))
+      val got = merged.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"a=$a b=$b c=$c")
+    }
+  }
+
+  test("partial agg equals final agg under any partitioning (combiner law)") {
+    val base = Tables.lineitem(spark, sfDir)
+    val r1 = base.groupBy($"l_returnflag").agg(sum($"l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r2 = base.repartition(17, $"l_partkey").groupBy($"l_returnflag")
+      .agg(sum($"l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1 == r2) // quantities integral: exact under reordering
+  }
+
+  test("as-of join matches brute-force model") {
+    val got = graft.operators.Joins.asofJoin(spark, sfDir)
+      .select($"event_id", $"matched_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // normalize both NTZ and LTZ timestamps through epoch micros in SQL
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+        unix_micros($"o_orderdate".cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = orders.groupBy(_._2)
+    events.foreach { case (eid, uid, ets) =>
+      val best = byCust.getOrElse(uid, Array.empty)
+        .filter(_._3 <= ets)
+        .sortBy(o => (o._3, o._1)) // max date, then max key
+        .lastOption.map(_._1).getOrElse(-1L)
+      assert(got(eid) == best, s"event $eid: got ${got(eid)} want $best")
+    }
+  }
+
+  test("secondary sort: values ordered within each key group") {
+    val rows = graft.operators.Relational.secondarySort(spark, sfDir)
+      .select($"user_id", $"ts".cast("long"), $"seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a._2 <= b._2 },
+        "timestamps must be non-decreasing in seq order")
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB discipline checks
+  * (SURVEY.md §7.2 step 9). Correct results with a wrong plan shape fail
+  * here even though the oracle passes.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("dim join broadcasts (no shuffle of the fact side)") {
+    val plan = planOf(graft.operators.Joins.broadcastDims(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = graft.operators.Relational.topK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("aggregation runs partial then final (combiner parity)") {
+    val plan = planOf(graft.operators.Aggregates.q1PricingSummary(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q1 stays inside whole-stage codegen") {
+    // codegen stages appear as "*(n) Operator" in the executed-plan string
+    val plan = planOf(graft.operators.Aggregates.q1PricingSummary(spark, sfDir))
+    assert(plan.contains("*("), s"expected codegen spans:\n$plan")
+  }
+
+  test("co-bucketed tables join without a shuffle (CompositeInputFormat parity)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the in-memory catalog is fresh each session but the warehouse dir is
+      // not: clear both, or saveAsTable trips over the stale location
+      Seq("b_orders", "b_lineitem").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"l_quantity")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("partitionBy demux prunes partitions on read") {
+    val path = "/tmp/graft_test/demux_prune"
+    Tables.documents(spark, sfDir).write.mode("overwrite").partitionBy("lang").parquet(path)
+    val one = spark.read.parquet(path).filter($"lang" === "en")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$scan")
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val df = e.select($"vec_id", expr("cosine_sim(embedding, embedding)").as("self"))
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"expression fell out of codegen:\n$plan")
+    assert(df.filter($"self" < 0.999999).count() == 0) // self-similarity == 1
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: incremental execution must reproduce the
+  * batch answers (SURVEY.md §7.4 risk 3), watermarks must drop late data,
+  * and the stateful sessionizer must equal the declarative session_window.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source streaming tumbling counts == batch tumbling counts") {
+    val streamed = EventStreams.tumblingCounts(EventStreams.fileSource(spark, sfDir))
+    val got = EventStreams.runToMemory(spark, streamed, "t_spec_tumbling")
+      .orderBy($"w_start", $"event_type").collect().map(_.toString)
+    val want = EventStreams.tumblingCounts(Tables.events(spark, sfDir))
+      .orderBy($"w_start", $"event_type").collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
+  test("MemoryStream incremental aggregation converges to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = EventStreams.tumblingCounts(
+      mem.toDF().toDF("event_id", "ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory").queryName("t_spec_mem")
+      .outputMode(OutputMode.Complete()).start()
+    val rows = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    // three micro-batches in event-time order
+    rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_spec_mem")
+      .orderBy($"w_start", $"event_type").collect().map(_.toString)
+    val want = EventStreams.tumblingCounts(Tables.events(spark, sfDir))
+      .orderBy($"w_start", $"event_type").collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val streamed = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("t_spec_late")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((ts(0), "a"), (ts(5), "a")); q.processAllAvailable()
+    // advance watermark far past the first window
+    mem.addData((ts(40), "a")); q.processAllAvailable()
+    // late arrival into the long-closed first window: must be dropped
+    mem.addData((ts(1), "late")); q.processAllAvailable()
+    mem.addData((ts(59), "a")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_spec_late").collect()
+    assert(!rows.exists(_.getString(1) == "late"),
+      s"late row leaked: ${rows.mkString(";")}")
+    // the closed first window was emitted with only the on-time rows
+    assert(rows.exists(r => r.getString(1) == "a" && r.getLong(2) == 2))
+  }
+
+  test("flatMapGroupsWithState sessionizer (streaming) == batch session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val sessions = EventStreams.sessionize(
+      mem.toDS().withWatermark("ts", "1 hour").as[EventStreams.Ev])
+    val q = sessions.toDF().writeStream.format("memory").queryName("t_spec_sess")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value").orderBy($"ts")
+      .as[EventStreams.Ev].collect()
+    evs.grouped((evs.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // push watermark past everything so open sessions time out and flush:
+    // one sentinel far in the future per user would distort sessions; instead
+    // use a single dummy user with a late timestamp
+    val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 100L * 60 * 60 * 1000)
+    mem.addData(EventStreams.Ev(-1L, flushTs, 0.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_spec_sess")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start").collect().map(_.toString)
+    val want = graft.streaming.StreamQueries.sessionizeFmgws(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start").collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val dedup = EventStreams.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts"))
+    val q = dedup.writeStream.format("memory").queryName("t_spec_dedup")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((1L, ts(0)), (2L, ts(1))); q.processAllAvailable()
+    mem.addData((1L, ts(2)), (3L, ts(3))); q.processAllAvailable() // dup id 1
+    q.stop()
+    val ids = spark.table("t_spec_dedup").select($"event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+}
