@@ -21,10 +21,34 @@ trait QueryPack {
 }
 
 object QueryPack {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.expressions.WindowSpec
+  import org.apache.spark.sql.functions.sum
+  import org.apache.spark.sql.types.DecimalType
+
   /** Exact, order-independent sum of a double expression: per-row cast to
     * decimal(18,6) (deterministic), exact decimal accumulation, cast back.
     * Spark and DuckDB produce bit-identical doubles for this pattern.
     */
   def decSumSql(expr: String, alias: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) AS $alias"
+
+  /** Exactness knob: `graft.sums.exact=true` (default) routes double sums
+    * through decimal — bit-reproducible across partitionings and engines,
+    * which the hash-equality correctness gate requires, at ~3x the agg
+    * cost. `false` is the plain-double deployment path (industry-standard
+    * last-ulp nondeterminism); Bench opts into it.
+    */
+  def exactSums(spark: SparkSession): Boolean =
+    spark.conf.get("graft.sums.exact", "true").toBoolean
+
+  /** SUM over doubles honoring the exactness knob. */
+  def decSum(spark: SparkSession)(c: Column): Column =
+    if (exactSums(spark)) sum(c.cast(DecimalType(18, 6))).cast("double")
+    else sum(c)
+
+  /** Windowed SUM honoring the exactness knob. */
+  def decSumOver(spark: SparkSession)(c: Column, w: WindowSpec): Column =
+    if (exactSums(spark)) sum(c.cast(DecimalType(18, 6))).over(w).cast("double")
+    else sum(c).over(w)
 }

@@ -72,25 +72,31 @@ object DedupOps extends QueryPack {
   val NumHashes = 16
   val BandRows = 2 // 8 bands x 2 rows
 
-  /** MinHash signature columns mh_0..mh_15: min over shingles of a seeded
-    * 64-bit hash. Seeding via prefix keeps it pure-SQL (xxhash64's seed is
-    * fixed in the function API).
+  /** MinHash signatures mh_0..mh_15 (min over shingles of a seeded 64-bit
+    * hash; seeding via prefix since xxhash64's API seed is fixed) FUSED with
+    * the distinct-shingle count — one shuffle produces both the LSH input
+    * and the |A| sizes the Jaccard verify needs.
     */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map { i =>
       min(xxhash64(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
-    }
+    } :+ count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup: band-bucket candidates, exact-verify, emit pairs
     * with their true Jaccard. Rows-only check (sketch path); DedupSpec
     * asserts it finds exactly the planted ≥0.5 pairs on the test data.
+    *
+    * Shuffle budget (the 100 TB view): shingle explode → one groupBy(doc)
+    * for sigs+sizes → one groupBy(band-bucket) → candidate-pair verify join
+    * keyed on (doc, shingle). Candidates are broadcast into the verify join
+    * (the whole point of banding is that they're tiny relative to corpus).
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingled(spark, dir).cache()
-    val sigs = minhashSignatures(sh)
+    val sigs = minhashSignatures(sh).cache()
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("bh"))
@@ -103,15 +109,14 @@ object DedupOps extends QueryPack {
       .select($"d1", explode($"docs").as("d2"))
       .filter($"d1" < $"d2")
       .distinct()
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = candidates
+    val common = broadcast(candidates)
       .join(sh.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
-      .join(sh.select($"doc_id".as("d2"), $"shingle".as("s2")), Seq("d2"))
-      .filter($"shingle" === $"s2")
+      .join(sh.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+    val sizes = sigs.select($"doc_id", $"n")
     common
-      .join(counts.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-      .join(counts.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"d1", $"d2", $"jaccard")

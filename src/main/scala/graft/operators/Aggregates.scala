@@ -33,8 +33,6 @@ import org.apache.spark.sql.types.DecimalType
 object Aggregates extends QueryPack {
   import QueryPack.decSumSql
 
-  /** Exact order-independent sum of doubles via decimal (see QueryPack). */
-  private def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** TPC-H Q1-shaped pricing summary — the flagship scan→filter→agg→sort.
     * Reference shape: `src/examples/.../AggregateWordCount.java`-era
@@ -47,11 +45,11 @@ object Aggregates extends QueryPack {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"), // integral-valued: double sum is exact
-        decSum($"l_extendedprice").as("sum_base_price"),
-        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        QueryPack.decSum(spark)($"l_extendedprice").as("sum_base_price"),
+        QueryPack.decSum(spark)($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        QueryPack.decSum(spark)($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
         (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
-        (decSum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        (QueryPack.decSum(spark)($"l_extendedprice") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -74,7 +72,7 @@ object Aggregates extends QueryPack {
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        decSum($"value").as("sum_value"),
+        QueryPack.decSum(spark)($"value").as("sum_value"),
         min($"value").as("min_value"),
         max($"value").as("max_value"),
         countDistinct($"user_id").as("n_users"),
@@ -130,7 +128,7 @@ object Aggregates extends QueryPack {
     import spark.implicits._
     Tables.orders(spark, dir)
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("sum_price"))
+      .agg(count(lit(1)).as("n"), QueryPack.decSum(spark)($"o_totalprice").as("sum_price"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 

@@ -23,15 +23,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events extends QueryPack {
 
-  private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** Tumbling 10-minute event-time windows. */
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), decSum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.QueryPack.decSum(spark)($"value").as("sum_value"))
       .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"event_type", $"n", $"sum_value")
       .orderBy($"w_start", $"event_type")
   }
@@ -55,7 +53,7 @@ object Events extends QueryPack {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n_events"), decSum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.QueryPack.decSum(spark)($"value").as("sum_value"))
       .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
         $"n_events", $"sum_value")
       .orderBy($"user_id", $"session_start")

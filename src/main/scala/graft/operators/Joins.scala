@@ -33,8 +33,6 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends QueryPack {
   import QueryPack.decSumSql
-  private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
 
   /** Plain equi inner join, row level (CompositeInputFormat inner parity). */
   def innerJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -53,7 +51,7 @@ object Joins extends QueryPack {
       .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_lines"),
-        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        QueryPack.decSum(spark)($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"c_mktsegment")
   }
 
@@ -66,7 +64,7 @@ object Joins extends QueryPack {
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(count(lit(1)).as("n_suppliers"), decSum($"s_acctbal").as("sum_acctbal"))
+      .agg(count(lit(1)).as("n_suppliers"), QueryPack.decSum(spark)($"s_acctbal").as("sum_acctbal"))
       .orderBy($"r_name", $"n_name")
   }
 
@@ -172,7 +170,7 @@ object Joins extends QueryPack {
     Tables.events(spark, dir)
       .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
       .groupBy($"band")
-      .agg(count(lit(1)).as("n"), decSum($"value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), QueryPack.decSum(spark)($"value").as("sum_value"))
       .orderBy($"band")
   }
 

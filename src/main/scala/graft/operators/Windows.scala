@@ -23,8 +23,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Windows extends QueryPack {
 
-  private def decRunSum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
-    sum(c.cast(DecimalType(18, 6))).over(w).cast("double")
 
   /** Ranking family over a real partition. */
   def ranking(spark: SparkSession, dir: String): DataFrame = {
@@ -48,7 +46,7 @@ object Windows extends QueryPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate",
-        decRunSum($"o_totalprice", w).as("running_total"),
+        graft.QueryPack.decSumOver(spark)($"o_totalprice", w).as("running_total"),
         count(lit(1)).over(w).as("n_so_far"))
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
@@ -95,7 +93,7 @@ object Windows extends QueryPack {
       .rowsBetween(-2, Window.currentRow)
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"ts",
-        (sum($"value".cast(DecimalType(18, 6))).over(w).cast("double") /
+        (graft.QueryPack.decSumOver(spark)($"value", w) /
           count(lit(1)).over(w)).as("avg3"))
       .orderBy($"user_id", $"ts", $"event_id")
   }

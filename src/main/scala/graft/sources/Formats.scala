@@ -84,7 +84,7 @@ object Formats extends QueryPack {
     spark.read.option("header", "true").schema(schema).csv(path)
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("sum_price"))
+        graft.QueryPack.decSum(spark)($"o_totalprice").as("sum_price"))
       .orderBy($"o_orderstatus")
   }
 
@@ -134,7 +134,7 @@ object Formats extends QueryPack {
     Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("sum_price"))
+        graft.QueryPack.decSum(spark)($"o_totalprice").as("sum_price"))
       .write.mode(SaveMode.Overwrite).jdbc(url, "cust_orders", props)
     spark.read.jdbc(url, "cust_orders", props)
       .orderBy($"o_custkey")

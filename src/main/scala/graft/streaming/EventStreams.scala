@@ -42,7 +42,7 @@ object EventStreams {
       .withWatermark("ts", "20 minutes")
       .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        graft.QueryPack.decSum(events.sparkSession)($"value").as("sum_value"))
       .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"event_type", $"n", $"sum_value")
   }
 
