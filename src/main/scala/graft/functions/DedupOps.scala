@@ -145,11 +145,32 @@ object DedupOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Embedding-cosine near-dup: canonical id = min vec_id among neighbors
+    * with cosine ≥ 0.9 (self included — cos(v,v)=1). Exact all-pairs form,
+    * the correctness baseline; at 100 TB the identical groupBy/canonical
+    * step runs over LSH-bucketed candidates (sim_ann_lsh's bucketing)
+    * instead of the cross join.
+    * Reference analogue: none (north-star extension).
+    */
+  def embeddingCosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
+    a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= 0.9)
+      .groupBy($"v1")
+      .agg(min($"v2").as("canonical_id"), (count(lit(1)) - 1).as("n_near_dups"))
+      .select($"v1".as("vec_id"), $"canonical_id", $"n_near_dups")
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding_cosine" -> (embeddingCosineDedup _))
 
   private val duckShingles =
     """WITH nt AS (
@@ -180,5 +201,14 @@ object DedupOps extends QueryPack {
          |  common * 1.0 / (ca.n + cb.n - common) AS jaccard
          |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
-         |ORDER BY d1, d2""".stripMargin)
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id = b.vec_id
+        |    OR list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.9)
+        |SELECT v1 AS vec_id, MIN(v2) AS canonical_id, COUNT(*) - 1 AS n_near_dups
+        |FROM p GROUP BY v1 ORDER BY vec_id""".stripMargin)
 }

@@ -122,9 +122,50 @@ object SimilarityOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  val IvfCells = 16
+  val NProbe = 2
+
+  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
+    * coarse-quantize every vector to its nearest of `IvfCells` centroids
+    * (the inverted file, built once: one broadcast join + per-vector argmax,
+    * no shuffle of the corpus), then each query probes only its `NProbe`
+    * nearest cells. Search cost drops from O(n) per query to
+    * O(n·nprobe/cells) with recall controlled by nprobe.
+    *
+    * Centroids here are the first `IvfCells` vectors (deterministic; a
+    * production build would k-means them — the plan shape is identical).
+    * Rows-only check (sketch path); DedupSimSpec asserts recall vs the
+    * brute-force `sim_cosine_topk` baseline.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val inverted = e.join(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(embedding, cent)"))
+      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+      .select($"cent_id".as("cell"), $"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
+    val probes = q.join(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(q_emb, cent)"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= NProbe)
+      .select($"q_id", $"q_emb", $"cent_id".as("cell"))
+    val wS = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(probes).join(inverted, Seq("cell")).filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .withColumn("rank", row_number().over(wS)).filter($"rank" === 1)
+      .select($"q_id", $"vec_id".as("nearest_ivf"), round($"cos", 6).as("cos"))
+      .orderBy($"q_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_pairs_threshold" -> (pairsAboveThreshold _),
     "sim_nearest_same_label" -> (nearestSameLabel _))
 

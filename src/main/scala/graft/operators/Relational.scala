@@ -168,7 +168,22 @@ object Relational extends QueryPack {
       .orderBy($"n_chars".desc, $"lang".asc, $"doc_id".asc)
   }
 
+  /** SequenceFileInputFilter parity (`MD5Filter` / `PercentFilter`):
+    * deterministic record sampling by digest of the key — every engine
+    * reading the same data picks the same ~1/16 of records, independent
+    * of partitioning. Reference: `src/mapred/.../SequenceFileInputFilter.java`
+    * anchor:`class MD5Filter`.
+    */
+  def sampleMd5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat_ws("|", $"l_orderkey", $"l_linenumber")), 1, 1) === "0")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_sample_md5" -> (sampleMd5 _),
     "rel_identity_scan" -> (identityScan _),
     "rel_inverse_map" -> (inverseMap _),
     "rel_regex_filter" -> (regexFilter _),
@@ -184,6 +199,10 @@ object Relational extends QueryPack {
     "rel_key_field_sort" -> (keyFieldSort _))
 
   override def oracle: Map[String, String] = Map(
+    "rel_sample_md5" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "rel_identity_scan" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "rel_inverse_map" ->

@@ -164,7 +164,70 @@ object Formats extends QueryPack {
       .orderBy($"n".desc, $"last_word")
   }
 
+  /** StreamXmlRecordReader parity: records delimited by an end tag and
+    * spanning multiple lines. The Spark-idiomatic splitter is the text
+    * reader's custom record delimiter (`lineSep = "</rec>"`) — splittable
+    * exactly like the reference's tag scan, no whole-file reads — then
+    * field extraction by regex. Reference:
+    * `src/contrib/streaming/.../StreamXmlRecordReader.java`
+    * anchor:`readUntilMatchBegin`.
+    */
+  def xmlByTag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("xml_docs")
+    Tables.documents(spark, dir)
+      .select(concat(
+        lit("<rec>\n  <id>"), $"doc_id",
+        lit("</id>\n  <lang>"), $"lang",
+        lit("</lang>\n  <chars>"), $"n_chars",
+        lit("</chars>\n</rec>")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    spark.read.option("lineSep", "</rec>").text(path)
+      .filter($"value".contains("<rec>"))
+      .select(
+        regexp_extract($"value", "<id>(\\d+)</id>", 1).cast("bigint").as("doc_id"),
+        regexp_extract($"value", "<lang>([^<]*)</lang>", 1).as("lang"),
+        regexp_extract($"value", "<chars>(\\d+)</chars>", 1).cast("bigint").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** SkipBadRecords parity: poison records don't kill the job and are
+    * accounted for. The reference binary-searches around crashing records
+    * (`SkipBadRecords.setMapperMaxSkipRecords`); the declarative successor
+    * is PERMISSIVE parsing with a corrupt-record column — bad rows land in
+    * `_corrupt_record` instead of failing the task, good rows parse.
+    * Every 97th order is written with garbage in a numeric field.
+    */
+  def permissiveParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("csv_bad")
+    Tables.orders(spark, dir)
+      .select(when($"o_orderkey" % 97 === 0,
+          concat($"o_orderkey".cast("string"), lit(",NOT_A_NUMBER,XX,oops")))
+        .otherwise(concat_ws(",", $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice"))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      // the null-checks also keep o_custkey/o_totalprice in the required
+      // column set: CSV column pruning otherwise skips converting them and
+      // the conversion failure (→ _corrupt_record) never fires
+      .select(when($"_corrupt_record".isNotNull ||
+          $"o_custkey".isNull || $"o_totalprice".isNull, lit("_corrupt"))
+        .otherwise($"o_orderstatus").as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .orderBy($"status")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_xml_by_tag" -> (xmlByTag _),
+    "fmt_permissive_parse" -> (permissiveParse _),
     "fmt_text_roundtrip" -> (textRoundtrip _),
     "fmt_kv_first_tab" -> (kvTextFirstTab _),
     "fmt_csv_roundtrip" -> (csvRoundtrip _),
@@ -175,6 +238,12 @@ object Formats extends QueryPack {
     "fmt_pipe_word_tails" -> (pipeWordTails _))
 
   override def oracle: Map[String, String] = Map(
+    "fmt_xml_by_tag" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "fmt_permissive_parse" ->
+      """SELECT CASE WHEN o_orderkey % 97 = 0 THEN '_corrupt' ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "fmt_text_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "fmt_kv_first_tab" ->

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.{Observation, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Operator-adjacent reference capabilities that don't change query output
+  * and therefore live as specs rather than oracle queries:
+  *
+  *  - Counters (`Counters.incrCounter` / `Reporter`, SURVEY §2.5) →
+  *    `df.observe`: named metrics collected as a side effect of one pass,
+  *    no extra job, exactly the reference's heartbeat-collected counters.
+  *  - Bloom filters (`util/bloom/BloomFilter.java`, `BloomMapFile`,
+  *    SURVEY §1) → `DataFrameStatFunctions.bloomFilter`: membership sketch
+  *    with zero false negatives, built distributed.
+  *  - MultipleOutputs *named* side-outputs (SURVEY §2.2) → N filtered
+  *    writes of one cached DataFrame (the keyed-demux half is the
+  *    `fmt_partitioned_demux` oracle query).
+  */
+class OpsExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observe collects counter metrics in one pass (Counters parity)") {
+    val obs = Observation("graft_counters")
+    val df = Tables.orders(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_records"),
+        sum(when($"o_totalprice" > 100000.0, 1L).otherwise(0L)).as("n_big"))
+      .filter($"o_totalprice" > 100000.0)
+    val kept = df.count()
+    val row = obs.get
+    val expected = Tables.orders(spark, sfDir).count()
+    assert(row("n_records") == expected, "counter must see pre-filter records")
+    assert(row("n_big") == kept, "derived counter must equal downstream count")
+  }
+
+  test("bloom filter has no false negatives and sane false-positive rate") {
+    val keys = Tables.orders(spark, sfDir).select($"o_orderkey")
+    val bf = keys.stat.bloomFilter("o_orderkey", expectedNumItems = 20000, fpp = 0.01)
+    val present = keys.as[Long].collect()
+    assert(present.forall(bf.mightContain), "bloom filters never false-negative")
+    val absent = (1L to 10000L).map(_ + 10000000L)
+    val fp = absent.count(bf.mightContain)
+    assert(fp <= 500, s"false-positive rate implausibly high: $fp/10000")
+  }
+
+  test("named side-outputs: one cached pass fans out to disjoint sinks") {
+    val base = "/tmp/graft_fmt/side_outputs"
+    val o = Tables.orders(spark, sfDir).cache()
+    try {
+      val hi = o.filter($"o_totalprice" > 150000.0)
+      val lo = o.filter($"o_totalprice" <= 150000.0)
+      hi.write.mode(SaveMode.Overwrite).parquet(s"$base/high")
+      lo.write.mode(SaveMode.Overwrite).parquet(s"$base/low")
+      val nHi = spark.read.parquet(s"$base/high").count()
+      val nLo = spark.read.parquet(s"$base/low").count()
+      assert(nHi + nLo == o.count(), "side outputs must partition the input")
+      assert(nHi > 0 && nLo > 0)
+      val back = spark.read.parquet(s"$base/high")
+      assert(back.filter($"o_totalprice" <= 150000.0).count() == 0, "demux must be clean")
+    } finally o.unpersist()
+  }
+}
