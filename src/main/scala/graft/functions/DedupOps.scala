@@ -28,16 +28,22 @@ object DedupOps extends QueryPack {
 
   private def normText: Column = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
 
-  /** doc_id → distinct 3-token shingles (exploded). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  /** doc_id → 3-token shingles (exploded, WITH duplicates — narrow, no
+    * shuffle). Callers that need set semantics apply `.distinct()` on the
+    * (much smaller) slice they actually need.
+    */
+  private def shingledRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", split(normText, " ").as("toks"))
       .select($"doc_id", explode(transform(
         sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
         i => concat_ws(" ", slice($"toks", i, lit(3))))).as("shingle"))
-      .distinct()
   }
+
+  /** doc_id → distinct 3-token shingles (exploded). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledRaw(spark, dir).distinct()
 
   /** Exact dedup: canonical id per normalized-content hash. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -72,15 +78,22 @@ object DedupOps extends QueryPack {
   val NumHashes = 16
   val BandRows = 2 // 8 bands x 2 rows
 
-  /** MinHash signatures mh_0..mh_15 (min over shingles of a seeded 64-bit
-    * hash; seeding via prefix since xxhash64's API seed is fixed) FUSED with
-    * the distinct-shingle count — one shuffle produces both the LSH input
-    * and the |A| sizes the Jaccard verify needs.
+  /** MinHash signatures mh_0..mh_15. Each shingle STRING is hashed once
+    * (xxhash64); the 16 hash functions re-hash that single long with the
+    * function index — a fixed-width long hash is far cheaper than hashing
+    * the variable-length string 16×, and unlike a linear h1+i·h2 family the
+    * re-hash keeps the functions independent across LSH bands (a linear
+    * family measurably lost recall on the planted pairs).
+    * `min` is duplicate-insensitive, so this consumes the RAW shingle
+    * stream: the aggregation is fully map-combinable (partial min per
+    * partition), and the only corpus-wide shuffle moves ~1 row × 16 longs
+    * per (doc, partition), not the exploded shingles.
     */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val h = xxhash64(col("shingle"))
     val aggs = (0 until NumHashes).map { i =>
-      min(xxhash64(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
-    } :+ count(lit(1)).as("n")
+      min(xxhash64(h, lit(i))).as(s"mh_$i")
+    }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -88,15 +101,17 @@ object DedupOps extends QueryPack {
     * with their true Jaccard. Rows-only check (sketch path); DedupSpec
     * asserts it finds exactly the planted ≥0.5 pairs on the test data.
     *
-    * Shuffle budget (the 100 TB view): shingle explode → one groupBy(doc)
-    * for sigs+sizes → one groupBy(band-bucket) → candidate-pair verify join
-    * keyed on (doc, shingle). Candidates are broadcast into the verify join
-    * (the whole point of banding is that they're tiny relative to corpus).
+    * Shuffle budget (the 100 TB view): the ONLY corpus-wide shuffle is the
+    * map-combined signature groupBy (≤ numPartitions rows per doc in
+    * flight). Everything downstream — band bucketing, candidate pairing,
+    * distinct-shingle sets, Jaccard sizes and intersections — runs on the
+    * candidate slice only, reached by broadcasting the candidate doc-id set
+    * into a semi-join against the (re-scanned, narrow) shingle stream.
+    * Banding exists precisely to make that slice tiny relative to corpus.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir).cache()
-    val sigs = minhashSignatures(sh).cache()
+    val sigs = minhashSignatures(shingledRaw(spark, dir))
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("bh"))
@@ -109,14 +124,22 @@ object DedupOps extends QueryPack {
       .select($"d1", explode($"docs").as("d2"))
       .filter($"d1" < $"d2")
       .distinct()
+      .cache()
+    val candDocs = candidates
+      .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
+    // distinct shingle sets ONLY for candidate docs (broadcast semi-join)
+    val shCand = shingledRaw(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct()
+      .cache()
+    val sizes = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = broadcast(candidates)
-      .join(sh.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
-      .join(sh.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
+      .join(shCand.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
+      .join(shCand.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
-    val sizes = sigs.select($"doc_id", $"n")
     common
-      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
       .filter($"jaccard" >= 0.5)
       .select($"d1", $"d2", $"jaccard")
