@@ -89,12 +89,26 @@ object Events extends QueryPack {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Interval join, batch face of the stream-stream attribution join
+    * ([[graft.streaming.EventStreams.attributionJoin]] — one definition,
+    * two execution modes; StreamingSpec checks streaming ≡ batch).
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    graft.streaming.EventStreams.attributionJoin(
+        e.filter($"event_type" === "view"),
+        e.filter($"event_type" === "purchase"))
+      .orderBy($"purchase_id", $"view_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (tumbling _),
     "evt_sliding" -> (sliding _),
     "evt_sessions" -> (sessions _),
     "evt_json_props" -> (jsonProps _),
-    "evt_first_per_user_type" -> (firstEventPerUserType _))
+    "evt_first_per_user_type" -> (firstEventPerUserType _),
+    "evt_attribution" -> (attribution _))
 
   override def oracle: Map[String, String] = Map(
     "evt_tumbling" ->
@@ -142,5 +156,13 @@ object Events extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "evt_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  v.ts AS v_ts, p.ts AS p_ts, p.value
+        |FROM events v JOIN events p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.user_id = p.user_id
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+        |ORDER BY purchase_id, view_id""".stripMargin)
 }

@@ -126,6 +126,29 @@ object EventStreams {
   private def toOut(user: Long, s: SessionState): SessionOut =
     SessionOut(user, tsOf(s.start), tsOf(s.last + GapUs), s.n, s.sumCents / 100.0)
 
+  /** Stream-stream interval join (attribution): each purchase joined to
+    * every view by the same user in the preceding 30 minutes. Watermarks on
+    * BOTH sides plus the time-bound join condition let Spark expire join
+    * state — without them a stream-stream join buffers forever; with them
+    * state is bounded by (watermark + interval), which is what makes this
+    * viable at 100 TB/day event rates. The same definition runs in batch
+    * (watermarks are no-ops) — `evt_attribution`'s oracle checks it.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    import views.sparkSession.implicits._
+    val v = views
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("view_id"))
+      .withWatermark("v_ts", "30 minutes")
+    val p = purchases
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("p_ts", "30 minutes")
+    v.join(p, expr(
+      "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
+      .select($"p_user".as("user_id"), $"purchase_id", $"view_id",
+        $"v_ts", $"p_ts", $"value")
+  }
+
   /** Run a streaming query to completion over the (finite) file source and
     * return the materialized result — real incremental execution, memory
     * sink, AvailableNow trigger.

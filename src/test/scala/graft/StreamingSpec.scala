@@ -100,6 +100,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("stream-stream interval join (attribution) == batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val schema = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"value", $"event_type")
+    val rows = schema.orderBy($"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    val memV = MemoryStream[(Long, Timestamp, Long, Double, String)]
+    val memP = MemoryStream[(Long, Timestamp, Long, Double, String)]
+    def shape(m: MemoryStream[(Long, Timestamp, Long, Double, String)]) =
+      m.toDF().toDF("user_id", "ts", "event_id", "value", "event_type")
+    val joined = EventStreams.attributionJoin(shape(memV), shape(memP))
+    val q = joined.writeStream.format("memory").queryName("t_spec_ssj")
+      .outputMode(OutputMode.Append()).start()
+    // feed both sides in event-time order across several micro-batches
+    rows.grouped((rows.length + 3) / 4).foreach { chunk =>
+      memV.addData(chunk.filter(_._5 == "view").toSeq)
+      memP.addData(chunk.filter(_._5 == "purchase").toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("t_spec_ssj")
+      .select($"purchase_id", $"view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Events.attribution(spark, sfDir)
+      .select($"purchase_id", $"view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "attribution join must produce pairs on test data")
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
