@@ -98,9 +98,26 @@ object MultimodalOps extends QueryPack {
       .orderBy($"asset_id")
   }
 
+  /** Resize planning: fit each asset into a 224×224 budget preserving
+    * aspect ratio — longest edge → 224, other edge scaled by exact integer
+    * arithmetic (edge·224 div longest). This is the catalog/geometry half
+    * of resize that drives the batch (pure column math, codegen); the pixel
+    * kernel itself would live next to the decode stub's mapPartitions.
+    */
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select($"asset_id",
+        $"meta.width".as("width"), $"meta.height".as("height"),
+        expr("CAST(meta.width * 224 DIV greatest(meta.width, meta.height) AS INT)").as("out_w"),
+        expr("CAST(meta.height * 224 DIV greatest(meta.width, meta.height) AS INT)").as("out_h"))
+      .orderBy($"asset_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_payload_stats" -> (payloadStats _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_resize_meta" -> (resizeMeta _),
     "mm_decode_stub" -> (decodeStub _))
 
   override def oracle: Map[String, String] = Map(
@@ -117,5 +134,15 @@ object MultimodalOps extends QueryPack {
         |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
         |  FROM documents)
         |SELECT asset_id, n_frames, CAST(UNNEST(range(0, n_frames, 5)) AS INT) AS frame_idx
-        |FROM a ORDER BY asset_id, frame_idx""".stripMargin)
+        |FROM a ORDER BY asset_id, frame_idx""".stripMargin,
+    "mm_resize_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(n_chars % 64 + 16 AS INT) AS width,
+        |    CAST(n_chars % 48 + 16 AS INT) AS height
+        |  FROM documents)
+        |SELECT asset_id, width, height,
+        |  CAST(width * 224 // GREATEST(width, height) AS INT) AS out_w,
+        |  CAST(height * 224 // GREATEST(width, height) AS INT) AS out_h
+        |FROM a ORDER BY asset_id""".stripMargin)
 }
