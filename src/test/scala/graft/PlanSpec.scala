@@ -75,6 +75,25 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$scan")
   }
 
+  test("eager 3-way join: pre-agg partitioning is reused by the join") {
+    val plan = planOf(graft.operators.Joins.threeWayAgg(spark, sfDir))
+    // the per-order pre-aggregation must exist (partial_count below the join)
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"expected pre-aggregation below the join:\n$plan")
+    // lineitem appears in exactly one scan: the fact table is read once
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(lineitemScans >= 1, s"plan lost the lineitem scan:\n$plan")
+  }
+
+  test("minhash signature aggregation is map-combined (objHashAggregate or partial min)") {
+    // the corpus-wide signature groupBy must run partial→final so the only
+    // full shuffle carries partial signatures, not exploded shingles
+    val plan = graft.functions.DedupOps.minhashLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"expected map-side partial min for signatures:\n$plan")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
