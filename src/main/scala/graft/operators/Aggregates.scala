@@ -158,7 +158,20 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** ValueAggregatorJob parity end-to-end: a whole query assembled from
+    * config strings by [[Pipeline]] (read→filter→descriptor-agg→sort),
+    * still fully Catalyst-optimized (PipelineSpec asserts the configured
+    * filter reaches the parquet scan).
+    */
+  def pipelineAgg(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.run(spark, dir, Seq(
+      "read:orders",
+      "filter:o_totalprice > 100000.0",
+      "agg:o_orderstatus|ValueCount:o_orderkey,DoubleValueSum:o_totalprice,LongValueMax:o_custkey",
+      "orderBy:o_orderstatus"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pipeline" -> (pipelineAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_sum_by_key" -> (sumByKey _),
     "agg_multi" -> (multiAgg _),
@@ -170,6 +183,12 @@ object Aggregates extends QueryPack {
     "agg_approx_distinct" -> (approxDistinct _))
 
   override def oracle: Map[String, String] = Map(
+    "agg_pipeline" ->
+      """SELECT o_orderstatus, COUNT(o_orderkey) AS cnt_o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_o_totalprice,
+        |  MAX(o_custkey) AS max_o_custkey
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  SUM(l_quantity) AS sum_qty,
