@@ -125,23 +125,38 @@ object Joins extends QueryPack {
       .orderBy($"c_custkey")
   }
 
-  /** OverrideRecordReader parity: newer snapshot overrides older, per key;
-    * keys only in the base pass through. Delta here: open orders re-priced.
+  /** N-ary OverrideRecordReader: the RIGHTMOST snapshot that has the key
+    * wins, whole-record (NOT per-column coalesce — a later snapshot with a
+    * null payload column must still shadow the earlier record entirely).
+    * Implemented as iterated full_outer + key-presence switch; keys absent
+    * from later snapshots pass through. All snapshots share a schema.
     * Reference: `src/mapred/.../join/OverrideRecordReader.java`
-    * anchor:`fillJoinCollector` — rightmost input that has the key wins.
+    * anchor:`fillJoinCollector`. Property-tested against a fold-left map
+    * model in JoinPropSpec (SURVEY §7.4 risk 1).
+    */
+  def overrideMerge(snapshots: Seq[DataFrame], key: String): DataFrame =
+    snapshots.reduce { (l, r) =>
+      val cols = l.columns
+      val rr = r.columns.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      val rightHasKey = col(s"__r_$key").isNotNull
+      l.join(rr, l(key) === rr(s"__r_$key"), "full_outer")
+        .select(cols.map(c =>
+          when(rightHasKey, col(s"__r_$c")).otherwise(col(c)).as(c)).toSeq: _*)
+    }
+
+  /** OverrideRecordReader parity query: newer snapshot overrides older, per
+    * key; keys only in the base pass through. Delta here: open orders
+    * re-priced.
     */
   def overrideJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.orders(spark, dir)
-    val delta = base.filter($"o_orderstatus" === "O")
-      .select($"o_orderkey".as("d_orderkey"),
-        ($"o_totalprice" * 1.1).as("d_totalprice"),
-        lit("RE-PRICED").as("d_orderpriority"))
-    base.join(delta, $"o_orderkey" === $"d_orderkey", "full_outer")
-      .select(
-        coalesce($"o_orderkey", $"d_orderkey").as("o_orderkey"),
-        coalesce($"d_totalprice", $"o_totalprice").as("o_totalprice"),
-        coalesce($"d_orderpriority", $"o_orderpriority").as("o_orderpriority"))
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val delta = Tables.orders(spark, dir).filter($"o_orderstatus" === "O")
+      .select($"o_orderkey",
+        ($"o_totalprice" * 1.1).as("o_totalprice"),
+        lit("RE-PRICED").as("o_orderpriority"))
+    overrideMerge(Seq(base, delta), "o_orderkey")
       .orderBy($"o_orderkey")
   }
 
