@@ -86,6 +86,23 @@ object Joins extends QueryPack {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** TPC-H Q14-shaped promo-revenue share: fact ⋈ broadcast dim with a
+    * conditional aggregate — the filtered-ratio pattern every reporting
+    * pipeline uses. part is KB-sized: broadcast, never shuffle lineitem.
+    */
+  def partPromo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        QueryPack.decSum(spark)(rev).as("revenue"),
+        QueryPack.decSum(spark)(when($"p_type" === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"))
+      .orderBy($"p_brand")
+  }
+
   def leftOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -250,9 +267,18 @@ object Joins extends QueryPack {
     "join_cogroup_tagged" -> (cogroupTagged _),
     "join_theta_pairs" -> (thetaPairs _),
     "join_range_band" -> (rangeBand _),
-    "join_asof" -> (asofJoin _))
+    "join_asof" -> (asofJoin _),
+    "join_part_promo" -> (partPromo _))
 
   override def oracle: Map[String, String] = Map(
+    "join_part_promo" ->
+      s"""SELECT p_brand, COUNT(*) AS n_lines,
+         |  ${decSumSql("l_extendedprice * (1.0 - l_discount)", "revenue")},
+         |  ${decSumSql(
+               "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END",
+               "promo_revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
