@@ -158,6 +158,28 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** The one-pass [[graft.functions.ValueHistogram]] Aggregator as an
+    * oracle-checked query: same report as the composed two-level
+    * [[valueHistogram]], computed in ONE shuffle (the buffer is the
+    * value→count map, merged map-union partial/final like the reference's
+    * combiner-enabled histogram job). The oracle SQL is the composed form —
+    * so the custom UDAF is held to the declarative semantics.
+    */
+  def valueHistogramUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = org.apache.spark.sql.functions.udaf(graft.functions.ValueHistogram)
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(hist($"user_id".cast("string")).as("h"))
+      .select($"event_type",
+        $"h.nDistinctValues".as("n_distinct_values"),
+        $"h.minCount".as("min_count"),
+        $"h.maxCount".as("max_count"),
+        $"h.totalCount".as("total_count"),
+        $"h.sumSqCount".as("sum_sq_count"))
+      .orderBy($"event_type")
+  }
+
   /** ValueAggregatorJob parity end-to-end: a whole query assembled from
     * config strings by [[Pipeline]] (read→filter→descriptor-agg→sort),
     * still fully Catalyst-optimized (PipelineSpec asserts the configured
@@ -177,6 +199,7 @@ object Aggregates extends QueryPack {
     "agg_multi" -> (multiAgg _),
     "agg_uniq_value_count" -> (uniqValueCount _),
     "agg_value_histogram" -> (valueHistogram _),
+    "agg_value_histogram_udaf" -> (valueHistogramUdaf _),
     "agg_cube" -> (cubeAgg _),
     "agg_rollup" -> (rollupAgg _),
     "agg_pivot" -> (pivotAgg _),
@@ -217,6 +240,14 @@ object Aggregates extends QueryPack {
         |  (LIST_SORT(LIST(DISTINCT user_id)))[1:5] AS first_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_value_histogram" ->
+      """SELECT event_type, COUNT(*) AS n_distinct_values,
+        |  MIN(cnt) AS min_count, MAX(cnt) AS max_count,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_count,
+        |  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq_count
+        |FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+        |      FROM events GROUP BY event_type, user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_value_histogram_udaf" ->
       """SELECT event_type, COUNT(*) AS n_distinct_values,
         |  MIN(cnt) AS min_count, MAX(cnt) AS max_count,
         |  CAST(SUM(cnt) AS BIGINT) AS total_count,
