@@ -43,12 +43,15 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     import glob, os
-    names = sorted(d for d in os.listdir(out_dir)
+    # Verify writes each result as a parquet DIRECTORY named <name>.parquet
+    # (driver contract); also accept bare <name> dirs from older dumps.
+    names = sorted(d.removesuffix(".parquet") for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = (glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
+                 or glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL  {name}: no spark output"); failed.append(name); continue
         spark_t = pq.read_table(files[0]).to_pydict()
