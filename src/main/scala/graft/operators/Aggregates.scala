@@ -158,6 +158,38 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Exact percentiles (median/p90/p99) per group — `percentile` is the
+    * exact sort-based path (matches the oracle's quantile_cont); the 100 TB
+    * variant is `percentile_approx` (t-digest sketch, mergeable map-side,
+    * spec-checked for tolerance instead of hash equality).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Moment statistics per group: stddev/variance/correlation/covariance —
+    * rounded so the one-pass (Welford-style) accumulation and the oracle's
+    * agree to fixed precision.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covar_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** The one-pass [[graft.functions.ValueHistogram]] Aggregator as an
     * oracle-checked query: same report as the composed two-level
     * [[valueHistogram]], computed in ONE shuffle (the buffer is the
@@ -203,6 +235,8 @@ object Aggregates extends QueryPack {
     "agg_cube" -> (cubeAgg _),
     "agg_rollup" -> (rollupAgg _),
     "agg_pivot" -> (pivotAgg _),
+    "agg_percentiles" -> (percentiles _),
+    "agg_stats" -> (statsAgg _),
     "agg_approx_distinct" -> (approxDistinct _))
 
   override def oracle: Map[String, String] = Map(
@@ -255,6 +289,19 @@ object Aggregates extends QueryPack {
         |FROM (SELECT event_type, user_id, COUNT(*) AS cnt
         |      FROM events GROUP BY event_type, user_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 6) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
