@@ -44,6 +44,35 @@ class OpsExtrasSpec extends SparkSpec {
     assert(fp <= 500, s"false-positive rate implausibly high: $fp/10000")
   }
 
+  test("stratified sampling respects per-stratum fractions (InputSampler parity)") {
+    val o = Tables.orders(spark, sfDir)
+    val fractions = Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0)
+    val sampled = o.stat.sampleBy("o_orderstatus", fractions, seed = 42L)
+      .groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = o.groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (k, f) =>
+      val got = sampled.getOrElse(k, 0L).toDouble / full(k)
+      assert(math.abs(got - f) < 0.15, s"stratum $k: got ratio $got, wanted ~$f")
+    }
+  }
+
+  test("approx quantiles stay within declared tolerance of exact percentiles") {
+    val o = Tables.orders(spark, sfDir)
+    val approx = o.stat.approxQuantile("o_totalprice", Array(0.5, 0.9), 0.01)
+    val exact = o.selectExpr(
+        "percentile(o_totalprice, 0.5) AS p50", "percentile(o_totalprice, 0.9) AS p90")
+      .collect().head
+    val n = o.count().toDouble
+    // approxQuantile guarantees rank error <= relativeError * n; translate
+    // to a generous value bound via the empirical spread
+    Seq(approx(0) -> exact.getDouble(0), approx(1) -> exact.getDouble(1)).foreach {
+      case (a, e) => assert(math.abs(a - e) / math.max(e, 1.0) < 0.05,
+        s"approx quantile too far: $a vs $e (n=$n)")
+    }
+  }
+
   test("named side-outputs: one cached pass fans out to disjoint sinks") {
     val base = "/tmp/graft_fmt/side_outputs"
     val o = Tables.orders(spark, sfDir).cache()
