@@ -131,12 +131,20 @@ object Formats extends QueryPack {
     val url = "jdbc:derby:/tmp/graft_derby/db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    Tables.orders(spark, dir)
+    val agged = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
         graft.QueryPack.decSum(spark)($"o_totalprice").as("sum_price"))
-      .write.mode(SaveMode.Overwrite).jdbc(url, "cust_orders", props)
-    spark.read.jdbc(url, "cust_orders", props)
+    agged.write.mode(SaveMode.Overwrite).jdbc(url, "cust_orders", props)
+    val bounds = agged.agg(min($"o_custkey"), max($"o_custkey")).head()
+    // partitioned read-back: DBInputFormat's split generation
+    // (getSelectQuery LIMIT/OFFSET ranges) ≙ partitionColumn bounds split
+    spark.read
+      .option("partitionColumn", "o_custkey")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .jdbc(url, "cust_orders", props)
       .orderBy($"o_custkey")
   }
 
