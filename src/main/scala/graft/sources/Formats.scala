@@ -233,7 +233,33 @@ object Formats extends QueryPack {
       .orderBy($"status")
   }
 
+  /** MapFileOutputFormat / CompositeInputFormat parity as an oracle query:
+    * write both sides bucketed+sorted on the join key, then join the saved
+    * tables — Spark plans a sort-merge join with NO shuffle on either side
+    * (asserted in PlanSpec; here the driver verifies the VALUES). This is
+    * the reference's map-side merge join: identical partitioning + sort
+    * order in storage buys a shuffle-free 100 TB join.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("fq_orders", "fq_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("fq_orders")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("fq_lineitem")
+    spark.table("fq_orders")
+      .join(spark.table("fq_lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_bucketed_join" -> (bucketedJoin _),
     "fmt_xml_by_tag" -> (xmlByTag _),
     "fmt_permissive_parse" -> (permissiveParse _),
     "fmt_text_roundtrip" -> (textRoundtrip _),
@@ -246,6 +272,11 @@ object Formats extends QueryPack {
     "fmt_pipe_word_tails" -> (pipeWordTails _))
 
   override def oracle: Map[String, String] = Map(
+    "fmt_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "fmt_xml_by_tag" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "fmt_permissive_parse" ->
