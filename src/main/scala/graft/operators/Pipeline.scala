@@ -31,6 +31,9 @@ object Pipeline {
       val (verb, arg) = step.span(_ != ':') match {
         case (v, a) => (v, a.drop(1))
       }
+      if (df == null && verb != "read")
+        throw new IllegalArgumentException(
+          s"pipeline must start with a read: step, got '$step'")
       verb match {
         case "read" => Tables.load(spark, dir, arg)
         case "filter" => df.filter(arg)
