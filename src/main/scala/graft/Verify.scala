@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted
       // to TimestampType in graft.core.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -69,6 +69,30 @@ class CappedUniq(cap: Int) extends Aggregator[Long, mutable.Set[Long], UniqRepor
   override def outputEncoder: Encoder[UniqReport] = Encoders.product[UniqReport]
 }
 
+/** One scored record flowing into [[TopKAgg]]. */
+case class Scored(score: Double, key: Long)
+
+/** Bounded-heap per-key top-k — the scale-optimal form of "top k records
+  * per group". The declarative alternative (window `row_number` + filter)
+  * shuffles EVERY row to sort it inside its partition; this Aggregator
+  * keeps at most k records per (key, partition) on the map side and merges
+  * heaps, so the shuffle carries ≤ k·partitions rows per key regardless of
+  * group size — the per-mapper-heap trick from the reference's top-k
+  * pattern (SURVEY §2.6), generalized per key and map-combined.
+  * Ordering: score desc, then key asc (deterministic ties).
+  */
+class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+  private def ord(s: Scored): (Double, Long) = (-s.score, s.key)
+  private def trim(l: List[Scored]): List[Scored] = l.sortBy(ord).take(k)
+  override def zero: List[Scored] = Nil
+  override def reduce(b: List[Scored], v: Scored): List[Scored] = trim(v :: b)
+  override def merge(a: List[Scored], b: List[Scored]): List[Scored] = trim(a ::: b)
+  override def finish(l: List[Scored]): Seq[Scored] = l.sortBy(ord)
+  override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}
+
 /** Config-driven aggregator registry — the moral successor of
   * `ValueAggregatorJob`'s descriptor strings ("LongValueSum:col", ...):
   * one `groupBy.agg` computes the whole descriptor list in a single pass.

@@ -212,6 +212,24 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Per-key top-k via the bounded-heap [[graft.functions.TopKAgg]]
+    * Aggregator: map-side partial heaps mean the shuffle carries ≤ k rows
+    * per (key, partition) — versus window row_number which shuffles every
+    * row. Oracle: the window form (same values, so the heap is held to the
+    * declarative semantics).
+    */
+  def topKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_orderstatus", posexplode($"top"))
+      .select($"o_orderstatus", ($"pos" + 1).cast("int").as("rank"),
+        $"col.key".as("o_orderkey"), $"col.score".as("o_totalprice"))
+      .orderBy($"o_orderstatus", $"rank")
+  }
+
   /** ValueAggregatorJob parity end-to-end: a whole query assembled from
     * config strings by [[Pipeline]] (read→filter→descriptor-agg→sort),
     * still fully Catalyst-optimized (PipelineSpec asserts the configured
@@ -235,6 +253,7 @@ object Aggregates extends QueryPack {
     "agg_cube" -> (cubeAgg _),
     "agg_rollup" -> (rollupAgg _),
     "agg_pivot" -> (pivotAgg _),
+    "agg_topk_per_key" -> (topKPerKey _),
     "agg_percentiles" -> (percentiles _),
     "agg_stats" -> (statsAgg _),
     "agg_approx_distinct" -> (approxDistinct _))
@@ -289,6 +308,13 @@ object Aggregates extends QueryPack {
         |FROM (SELECT event_type, user_id, COUNT(*) AS cnt
         |      FROM events GROUP BY event_type, user_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_topk_per_key" ->
+      """SELECT o_orderstatus, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderstatus,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -242,9 +242,12 @@ object Formats extends QueryPack {
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     Seq("fq_orders", "fq_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+      // DROP on an in-memory catalog can leave the location behind from a
+      // prior session — clear it or saveAsTable refuses the name
+      val p = new org.apache.hadoop.fs.Path(s"$warehouse/$t")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     Tables.orders(spark, dir).write
