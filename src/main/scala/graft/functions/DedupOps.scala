@@ -188,7 +188,46 @@ object DedupOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard pair
+    * graph, cluster id = min doc_id in the component. Pairwise canonicals
+    * aren't transitive (A~B, B~C but A≁C still belong together); dedup
+    * pipelines cluster before keeping one doc per cluster. Distributed
+    * min-label propagation: each round joins labels across edges and takes
+    * the min — O(diameter) rounds, each one shuffle; `localCheckpoint`
+    * truncates lineage so rounds don't stack plans (the iterative-algorithm
+    * pattern Pregel/GraphFrames use). Oracle: DuckDB recursive CTE
+    * (reachability → min) — same fixpoint, declaratively.
+    */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, dir).select($"d1", $"d2")
+    val edges = pairs
+      .union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaEdges = labels.join(edges, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"label")
+      val next = labels.select($"doc_id", $"label").union(viaEdges)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter($"label" < $"old").count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"label".as("cluster_id"))
+      .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_connected_components" -> (connectedComponents _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -225,6 +264,25 @@ object DedupOps extends QueryPack {
          |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_connected_components" ->
+      s"""${duckShingles.replace("WITH nt AS", "WITH RECURSIVE nt AS")},
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT d1, d2 FROM pairs
+         |  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+         |e AS (SELECT d1 AS src, d2 AS dst FROM jp
+         |      UNION ALL SELECT d2, d1 FROM jp),
+         |r AS (
+         |  SELECT doc_id AS node, doc_id AS reach FROM documents
+         |  UNION
+         |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)
+         |SELECT node AS doc_id, MIN(reach) AS cluster_id,
+         |  (node = MIN(reach)) AS is_canonical
+         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH p AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2

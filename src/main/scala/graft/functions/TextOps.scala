@@ -128,7 +128,31 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Top word bigrams per language — corpus n-gram profiling (the stats
+    * behind language-model tokenizer/vocab work). Explode → count → per-key
+    * top-k via window; at scale the bigram count is map-combined and only
+    * (bigram, partial-count) pairs shuffle.
+    */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(tokens(lower($"text")), t => t =!= "")
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val counts = Tables.documents(spark, dir)
+      .select($"lang", explode(bigrams).as("bigram"))
+      .filter(size(split($"bigram", " ")) === 2)
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank".cast("int").as("rank"), $"bigram", $"n")
+      .orderBy($"lang", $"rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> (ngramFreq _),
     "text_wordcount" -> (wordCount _),
     "text_grep" -> (grep _),
     "text_token_count" -> (tokenCount _),
@@ -139,6 +163,20 @@ object TextOps extends QueryPack {
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
   override def oracle: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH t AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(toks) >= 2 AND i <= len(toks) - 1),
+        |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY lang, bigram),
+        |r AS (SELECT lang, bigram, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+        |      FROM c)
+        |SELECT lang, CAST(rank AS INT) AS rank, bigram, n
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "text_wordcount" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS word FROM documents)
