@@ -102,7 +102,46 @@ object Events extends QueryPack {
       .orderBy($"purchase_id", $"view_id")
   }
 
+  /** Gap-filled window spine: EVERY 10-minute window between the corpus
+    * min and max, zero-filled where no events landed — the time-series
+    * completion step dashboards/forecasting need (a plain groupBy silently
+    * drops empty windows). The spine is generated with `sequence` from the
+    * corpus bounds (2 rows to the driver), then left-joined — broadcast,
+    * since a spine is tiny even for years of 10-minute slots.
+    */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val counts = e.groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+    val spine = e
+      .agg(min(date_trunc("hour", $"ts")).as("lo"), max($"ts").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 10 minutes)")).as("w_start"))
+    broadcast(spine).join(counts, Seq("w_start"), "left_outer")
+      .select($"w_start", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"w_start")
+  }
+
+  /** MapType access (MapWritable parity, SURVEY §1): parse `props` JSON
+    * into a typed map, explode its entries, aggregate per key — the
+    * dynamic-schema path when keys aren't known at compile time
+    * (vs `evt_json_props`' fixed-path extraction).
+    */
+  def propsMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(explode(from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))).as(Seq("k", "v")))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), countDistinct($"v").as("n_distinct_values"))
+      .orderBy($"k")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_gapfill" -> (gapfill _),
+    "evt_props_map" -> (propsMap _),
     "evt_tumbling" -> (tumbling _),
     "evt_sliding" -> (sliding _),
     "evt_sessions" -> (sessions _),
@@ -157,6 +196,19 @@ object Events extends QueryPack {
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "evt_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '10 minutes')) AS w_start FROM b),
+        |c AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, COUNT(*) AS n
+        |      FROM events GROUP BY 1)
+        |SELECT s.w_start, COALESCE(c.n, 0) AS n
+        |FROM spine s LEFT JOIN c USING (w_start) ORDER BY w_start""".stripMargin,
+    // the oracle exploits the driver data's fixed {"k": int} prop shape;
+    // the Spark side is the generic map-explode operator
+    "evt_props_map" ->
+      """SELECT 'k' AS k, COUNT(*) AS n,
+        |  COUNT(DISTINCT regexp_extract(props, '"k":\s*(-?\d+)', 1)) AS n_distinct_values
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_attribution" ->
       """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
         |  v.ts AS v_ts, p.ts AS p_ts, p.value
