@@ -182,7 +182,23 @@ object Relational extends QueryPack {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** LineRecordReader offset parity (SURVEY §2.1): the reference keyed
+    * every text record by byte offset — a stable record id. The
+    * deterministic distributed equivalent is numbering over a total order
+    * (monotonically_increasing_id is partitioning-dependent, so NOT this).
+    */
+  def recordNumbers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        (row_number().over(w) - 1).cast("bigint").as("record_no"))
+      .orderBy($"record_no")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_record_numbers" -> (recordNumbers _),
     "rel_sample_md5" -> (sampleMd5 _),
     "rel_identity_scan" -> (identityScan _),
     "rel_inverse_map" -> (inverseMap _),
@@ -199,6 +215,10 @@ object Relational extends QueryPack {
     "rel_key_field_sort" -> (keyFieldSort _))
 
   override def oracle: Map[String, String] = Map(
+    "rel_record_numbers" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS record_no
+        |FROM documents ORDER BY record_no""".stripMargin,
     "rel_sample_md5" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
