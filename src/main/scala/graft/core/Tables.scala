@@ -33,9 +33,13 @@ object Tables {
     * double-typed division would silently lose precision — `div` keeps it
     * integral). Sub-microsecond parts are zero in the driver's data.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: make the read work on ANY session, not just graft-built
+    // ones (the conf is runtime-settable and required for NANOS parquet)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
