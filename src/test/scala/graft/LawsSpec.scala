@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
 class LawsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decimal-routed double sums are bit-identical under any partitioning (exactness law)") {
+    // the reproducibility invariant the whole oracle strategy rests on:
+    // decimal accumulation is associative+exact, so the result cannot
+    // depend on partition count or merge order
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.functions.sum
+    val base = Tables.lineitem(spark, sfDir).select($"l_extendedprice")
+    val sums = Seq(1, 3, 7, 32).map { n =>
+      base.repartition(n)
+        .agg(sum($"l_extendedprice".cast(DecimalType(18, 6))).cast("double"))
+        .head().getDouble(0)
+    }
+    assert(sums.distinct.size == 1, s"partitioning leaked into the sum: $sums")
+  }
+
   test("global sort is a permutation and globally ordered (SortValidator law)") {
     // l_shipdate is TIMESTAMP_NTZ; its ISO string ordering is chronological
     val sorted = graft.operators.Relational.globalSort(spark, sfDir)
