@@ -108,6 +108,38 @@ object Formats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** JSON-lines round-trip with explicit schema — the interchange format
+    * every ingestion pipeline meets; schema-on-read, never inferred.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("json_part")
+    Tables.part(spark, dir).write.mode(SaveMode.Overwrite).json(path)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+    spark.read.schema(schema).json(path)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"p_size".cast("long")).as("sum_size"))
+      .orderBy($"p_brand")
+  }
+
+  /** ORC round-trip — the other columnar container (same pushdown/pruning
+    * machinery as parquet). The oracle reads the original parquet: the
+    * round-trip must be lossless.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("orc_supplier")
+    Tables.supplier(spark, dir).write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.orc(path)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        graft.QueryPack.decSum(spark)($"s_acctbal").as("sum_acctbal"))
+      .orderBy($"s_nationkey")
+  }
+
   /** MultipleOutputs keyed demux → partitionBy; read back relies on
     * partition discovery (and gives partition pruning, MapFile-ish
     * point lookups by key).
@@ -264,6 +296,8 @@ object Formats extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_bucketed_join" -> (bucketedJoin _),
     "fmt_xml_by_tag" -> (xmlByTag _),
+    "fmt_json_roundtrip" -> (jsonRoundtrip _),
+    "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_permissive_parse" -> (permissiveParse _),
     "fmt_text_roundtrip" -> (textRoundtrip _),
     "fmt_kv_first_tab" -> (kvTextFirstTab _),
@@ -282,6 +316,13 @@ object Formats extends QueryPack {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "fmt_xml_by_tag" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "fmt_json_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "fmt_orc_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "fmt_permissive_parse" ->
       """SELECT CASE WHEN o_orderkey % 97 = 0 THEN '_corrupt' ELSE o_orderstatus END AS status,
         |  COUNT(*) AS n
