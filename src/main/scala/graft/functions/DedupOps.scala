@@ -188,6 +188,21 @@ object DedupOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Exact dedup with a KEEP POLICY: per content hash keep the longest
+    * document (ties → min doc_id) — the realistic corpus policy ("keep the
+    * most complete copy"), vs [[exactDedup]]'s neutral min-id canonical.
+    */
+  def exactDedupKeepLongest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"content_sha").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", sha2(normText, 256).as("content_sha"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"content_sha", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard pair
     * graph, cluster id = min doc_id in the component. Pairwise canonicals
     * aren't transitive (A~B, B~C but A≁C still belong together); dedup
@@ -229,6 +244,7 @@ object DedupOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_connected_components" -> (connectedComponents _),
     "dedup_exact" -> (exactDedup _),
+    "dedup_exact_keep_longest" -> (exactDedupKeepLongest _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -253,6 +269,18 @@ object DedupOps extends QueryPack {
         |  MIN(doc_id) OVER (PARTITION BY content_sha) AS canonical_id,
         |  COUNT(*) OVER (PARTITION BY content_sha) AS n_copies
         |FROM h ORDER BY doc_id""".stripMargin,
+    "dedup_exact_keep_longest" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_sha
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, content_sha, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY content_sha
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, content_sha, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$duckShingles,
          |pairs AS (

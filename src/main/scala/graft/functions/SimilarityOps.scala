@@ -162,7 +162,27 @@ object SimilarityOps extends QueryPack {
       .orderBy($"q_id")
   }
 
+  /** Per-label embedding centroids, element-wise — the class-centroid
+    * builder behind IVF coarse quantizers and nearest-centroid classifiers.
+    * posexplode → groupBy(label, pos) shuffles (dim × n_labels) partial
+    * sums, map-combined; the mean is decimal-exact (float → double widen →
+    * decimal sum → one division) so it's bit-reproducible across engines
+    * and partitionings.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"x".cast("double").cast(DecimalType(28, 9))).cast("double") /
+        count(lit(1))).as("mean_x"))
+      .select($"label", $"pos".cast("int").as("pos"), round($"mean_x", 6).as("mean_x"))
+      .orderBy($"label", $"pos")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> (labelCentroids _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
@@ -170,6 +190,12 @@ object SimilarityOps extends QueryPack {
     "sim_nearest_same_label" -> (nearestSameLabel _))
 
   override def oracle: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+        |  ROUND(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+        |        / COUNT(*), 6) AS mean_x
+        |FROM embeddings, UNNEST(range(0, 64)) AS u(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q_id, e.vec_id AS c_id,
