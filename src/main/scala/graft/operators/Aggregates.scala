@@ -158,6 +158,22 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Multiple COUNT(DISTINCT …) over different columns in ONE query —
+    * Catalyst plans this with an Expand (one row per distinct-set per
+    * input row) feeding a single aggregation, instead of N self-joins;
+    * the reference would have needed N chained MR jobs.
+    */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        countDistinct(date_trunc("day", $"ts")).as("n_days"),
+        countDistinct($"event_id").as("n_ids"))
+      .orderBy($"event_type")
+  }
+
   /** Exact percentiles (median/p90/p99) per group — `percentile` is the
     * exact sort-based path (matches the oracle's quantile_cont); the 100 TB
     * variant is `percentile_approx` (t-digest sketch, mergeable map-side,
@@ -253,6 +269,7 @@ object Aggregates extends QueryPack {
     "agg_cube" -> (cubeAgg _),
     "agg_rollup" -> (rollupAgg _),
     "agg_pivot" -> (pivotAgg _),
+    "agg_multi_distinct" -> (multiDistinct _),
     "agg_topk_per_key" -> (topKPerKey _),
     "agg_percentiles" -> (percentiles _),
     "agg_stats" -> (statsAgg _),
@@ -308,6 +325,12 @@ object Aggregates extends QueryPack {
         |FROM (SELECT event_type, user_id, COUNT(*) AS cnt
         |      FROM events GROUP BY event_type, user_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  COUNT(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_topk_per_key" ->
       """SELECT o_orderstatus, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
