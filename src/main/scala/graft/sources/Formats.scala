@@ -108,6 +108,27 @@ object Formats extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Compression-codec parity (reference: DefaultCodec/GzipCodec/BZip2Codec
+    * on text containers): gzip-compressed text out, transparent decompress
+    * on read. Note gzip text is NOT splittable — one task per file — which
+    * is why the primary store is parquet (zstd, splittable row groups);
+    * this path exists for interchange with legacy pipelines.
+    */
+  def gzipTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("gz_nation")
+    Tables.nation(spark, dir)
+      .select(concat_ws("\t", $"n_nationkey", $"n_name", $"n_regionkey").as("value"))
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+    spark.read.text(path)
+      .select(split($"value", "\t").as("f"))
+      .select(
+        element_at($"f", 1).cast("bigint").as("n_nationkey"),
+        element_at($"f", 2).as("n_name"),
+        element_at($"f", 3).cast("bigint").as("n_regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
   /** JSON-lines round-trip with explicit schema — the interchange format
     * every ingestion pipeline meets; schema-on-read, never inferred.
     */
@@ -297,6 +318,7 @@ object Formats extends QueryPack {
     "fmt_bucketed_join" -> (bucketedJoin _),
     "fmt_xml_by_tag" -> (xmlByTag _),
     "fmt_json_roundtrip" -> (jsonRoundtrip _),
+    "fmt_gzip_text" -> (gzipTextRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_permissive_parse" -> (permissiveParse _),
     "fmt_text_roundtrip" -> (textRoundtrip _),
@@ -319,6 +341,8 @@ object Formats extends QueryPack {
     "fmt_json_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "fmt_gzip_text" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "fmt_orc_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
