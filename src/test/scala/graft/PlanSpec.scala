@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("point lookup on a bucketed table prunes to one bucket (MapFile parity)") {
+    // fmt_bucketed_join leaves fq_orders bucketed by o_orderkey in the
+    // warehouse; a key-equality filter must scan 1 of 8 buckets only
+    graft.sources.Formats.bucketedJoin(spark, sfDir).collect()
+    // the auto heuristic turns bucketed scans off when no join/agg wants the
+    // distribution — but a point lookup wants bucket PRUNING, so pin it on
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val one = spark.table("fq_orders").filter($"o_orderkey" === 7L)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket pruning:\n$scan")
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("partitionBy demux prunes partitions on read") {
     val path = "/tmp/graft_test/demux_prune"
     Tables.documents(spark, sfDir).write.mode("overwrite").partitionBy("lang").parquet(path)
