@@ -139,7 +139,27 @@ object Events extends QueryPack {
       .orderBy($"k")
   }
 
+  /** Daily cohort retention: for each (first-active day, later day) pair,
+    * how many of the cohort's users came back — the product-analytics
+    * staple. Two aggregations and one join, all on user_id/day keys; at
+    * scale the per-user first-day table is the only extra state.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day", $"day")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .withColumn("day_offset",
+        datediff($"day", $"cohort_day").cast("bigint"))
+      .select($"cohort_day", $"day_offset", $"n_active")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_retention" -> (retention _),
     "evt_gapfill" -> (gapfill _),
     "evt_props_map" -> (propsMap _),
     "evt_tumbling" -> (tumbling _),
@@ -196,6 +216,14 @@ object Events extends QueryPack {
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "evt_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, d.day ORDER BY cohort_day, day_offset""".stripMargin,
     "evt_gapfill" ->
       """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events),
         |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL '10 minutes')) AS w_start FROM b),
