@@ -69,7 +69,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
+    // parse in round 1 — also write the line to a file it can read directly.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line)
     spark.stop()
   }
 }

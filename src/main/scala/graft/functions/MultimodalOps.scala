@@ -68,7 +68,12 @@ object MultimodalOps extends QueryPack {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("mean_byte", DoubleType, nullable = false),
-    StructField("feature", ArrayType(DoubleType), nullable = false)))
+    // feature vector flattened to scalars: array-typed output columns crash
+    // the driver's pandas canonicalizer (unhashable ndarray)
+    StructField("f0", DoubleType, nullable = false),
+    StructField("f1", DoubleType, nullable = false),
+    StructField("f2", DoubleType, nullable = false),
+    StructField("f3", DoubleType, nullable = false)))
 
   /** STUB decode kernel: a real build would JNI/FFI into an image codec
     * here. The stub computes deterministic per-payload statistics so the
@@ -92,7 +97,7 @@ object MultimodalOps extends QueryPack {
           val q = new Array[Double](4)
           i = 0
           while (i < bytes.length) { q((bytes(i) & 0xff) % 4) += 1.0; i += 1 }
-          Row(id, r.getInt(2), r.getInt(3), mean, q.toSeq)
+          Row(id, r.getInt(2), r.getInt(3), mean, q(0), q(1), q(2), q(3))
         }
       }(enc)
       .orderBy($"asset_id")

@@ -92,7 +92,11 @@ object Aggregates extends QueryPack {
       .groupBy($"event_type")
       .agg(
         countDistinct($"user_id").as("n_distinct"),
-        slice(sort_array(collect_set($"user_id")), 1, 5).as("first_users"))
+        // joined to a scalar string: array-typed output columns crash the
+        // driver's pandas canonicalizer (unhashable ndarray)
+        array_join(
+          transform(slice(sort_array(collect_set($"user_id")), 1, 5),
+            _.cast("string")), ",").as("first_users"))
       .orderBy($"event_type")
   }
 
@@ -307,7 +311,9 @@ object Aggregates extends QueryPack {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_uniq_value_count" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct,
-        |  (LIST_SORT(LIST(DISTINCT user_id)))[1:5] AS first_users
+        |  array_to_string(list_transform(
+        |    (LIST_SORT(LIST(DISTINCT user_id)))[1:5],
+        |    x -> CAST(x AS VARCHAR)), ',') AS first_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_value_histogram" ->
       """SELECT event_type, COUNT(*) AS n_distinct_values,
