@@ -169,19 +169,36 @@ object DedupOps extends QueryPack {
   }
 
   /** Embedding-cosine near-dup: canonical id = min vec_id among neighbors
-    * with cosine ≥ 0.9 (self included — cos(v,v)=1). Exact all-pairs form,
-    * the correctness baseline; at 100 TB the identical groupBy/canonical
-    * step runs over LSH-bucketed candidates (sim_ann_lsh's bucketing)
-    * instead of the cross join.
+    * with cosine ≥ 0.9 (self included — cos(v,v)=1). Exact all-pairs form
+    * is the oracle-checked baseline; with `graft.sim.exact=false` the SAME
+    * neighbor filter + canonical groupBy runs over banded LSH candidates
+    * ([[SimilarityOps.lshCandidateIds]]) — a tight 0.9 threshold (26°)
+    * tolerates 4-bit tables, so 8 tables × 4 planes: candidate volume
+    * O(Σ bucket²) instead of the n² cross join. ExactnessSpec asserts the
+    * two paths agree on the test data.
     * Reference analogue: none (north-star extension).
     */
   def embeddingCosineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
-    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
-    a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= 0.9)
+    val neighbors =
+      if (SimilarityOps.exactSim(spark)) {
+        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
+        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
+        a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= 0.9)
+          .select($"v1", $"v2")
+      } else {
+        val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = 8, planesPerTable = 4)
+        val near = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
+          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
+          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
+          .filter(expr("cosine_sim(e1, e2)") >= 0.9)
+          .select($"v1", $"v2")
+        // self-pairs (cos(v,v)=1) join the candidate hits explicitly
+        near.union(e.select($"vec_id".as("v1"), $"vec_id".as("v2")))
+      }
+    neighbors
       .groupBy($"v1")
       .agg(min($"v2").as("canonical_id"), (count(lit(1)) - 1).as("n_near_dups"))
       .select($"v1".as("vec_id"), $"canonical_id", $"n_near_dups")

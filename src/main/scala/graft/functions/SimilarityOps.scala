@@ -30,11 +30,62 @@ object SimilarityOps extends QueryPack {
 
   val Dim = 64
   val NPlanes = 16
+  /** Wider family for the candidate-generator configs; the first `NPlanes`
+    * are the same planes `annLsh` has always used (same seeded stream).
+    */
+  val NPlanesMax = 32
 
   /** Seeded Rademacher (±1) hyperplanes: deterministic, no data dependence. */
   lazy val hyperplanes: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NPlanes)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    Seq.fill(NPlanesMax)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  /** Exactness knob (mirrors `graft.sums.exact`): `graft.sim.exact=true`
+    * (default) keeps the all-pairs exact baselines; `false` routes
+    * `sim_pairs_threshold` / `dedup_embedding_cosine` through the banded
+    * LSH candidate generator — the 100 TB path. ExactnessSpec asserts the
+    * two paths produce identical rows on the test data (the band shapes
+    * below are chosen so candidate recall is total there; `tools/
+    * lsh_recall.py` is the measurement that picked them).
+    */
+  def exactSim(spark: SparkSession): Boolean =
+    spark.conf.get("graft.sim.exact", "true").toBoolean
+
+  /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
+    * least one (table, bucket) under `nTables` tables of `planesPerTable`
+    * hyperplane sign bits each. The dial every LSH consumer turns:
+    * more planes per table → smaller buckets → cheaper but lower recall;
+    * more tables → more chances to collide → higher recall. Callers pick
+    * per threshold (near-dup at 0.9 tolerates 4-bit tables; a loose 0.4
+    * threshold needs 2-bit ones).
+    *
+    * Scale shape: one narrow shuffle of (table,bucket,id) rows, a
+    * per-bucket self-join, and a distinct on the id PAIR only — vectors
+    * are NOT carried through the distinct (re-joined by id afterwards by
+    * callers that need them).
+    */
+  def lshCandidateIds(spark: SparkSession, dir: String,
+      nTables: Int, planesPerTable: Int): DataFrame = {
+    import spark.implicits._
+    require(nTables * planesPerTable <= NPlanesMax,
+      s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
+    GraftFunctions.register(spark)
+    val tableBuckets = (0 until nTables).map { t =>
+      val bucket = (0 until planesPerTable).map { p =>
+        val plane = t * planesPerTable + p
+        when(expr(s"dot_product(embedding, element_at(planes, ${plane + 1}))") > 0.0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    val bucketed = Tables.embeddings(spark, dir)
+      .withColumn("planes", typedLit(hyperplanes))
+      .select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
+    bucketed.select($"tb", $"vec_id".as("v1"))
+      .join(bucketed.select($"tb", $"vec_id".as("v2")), Seq("tb"))
+      .filter($"v1" < $"v2")
+      .select($"v1", $"v2").distinct()
   }
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -67,21 +118,14 @@ object SimilarityOps extends QueryPack {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val tableBuckets = (0 until NTables).map { t =>
-      val bucket = (0 until PlanesPerTable).map { p =>
-        val plane = t * PlanesPerTable + p
-        when(expr(s"dot_product(embedding, element_at(planes, ${plane + 1}))") > 0.0,
-          lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    val bucketed = Tables.embeddings(spark, dir)
-      .withColumn("planes", typedLit(hyperplanes))
-      .select($"vec_id", $"embedding", explode(array(tableBuckets: _*)).as("tb"))
-    val a = bucketed.select($"tb", $"vec_id".as("v1"), $"embedding".as("e1"))
-    val b = bucketed.select($"tb", $"vec_id".as("v2"), $"embedding".as("e2"))
-    val pairs = a.join(b, Seq("tb")).filter($"v1" =!= $"v2")
-      .select($"v1", $"v2", $"e1", $"e2").distinct()
+    val e = Tables.embeddings(spark, dir)
+    // candidate ids first (ordered pairs → both directions), vectors
+    // re-joined afterwards: the distinct runs on two longs, not two
+    // 64-float arrays
+    val cand = lshCandidateIds(spark, dir, NTables, PlanesPerTable)
+    val pairs = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
+      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
+      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
     val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
     pairs.withColumn("rank", row_number().over(w))
@@ -90,14 +134,28 @@ object SimilarityOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
-  /** Embedding near-dup: all pairs with cosine >= 0.4 (exact form). */
+  /** Embedding near-dup: all pairs with cosine >= 0.4. Exact form is the
+    * all-pairs join (oracle-checked baseline); with `graft.sim.exact=false`
+    * the SAME verify step runs on banded LSH candidates instead — the only
+    * corpus-wide work becomes the (table,bucket) shuffle. 0.4 is a loose
+    * threshold (66°), so the candidate config is recall-heavy: 16 tables of
+    * 2 sign bits (covers every qualifying test pair — tools/lsh_recall.py).
+    */
   def pairsAboveThreshold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1"))
-    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2"))
-    a.join(b, $"v1" < $"v2")
+    val pairs =
+      if (exactSim(spark)) {
+        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1"))
+        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2"))
+        a.join(b, $"v1" < $"v2")
+      } else {
+        lshCandidateIds(spark, dir, nTables = 16, planesPerTable = 2)
+          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
+          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
+      }
+    pairs
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .filter($"cos" >= 0.4)
       .select($"v1", $"v2", $"l1", $"l2", round($"cos", 6).as("cos"))

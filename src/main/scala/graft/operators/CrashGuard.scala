@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import scala.reflect.runtime.universe.TypeTag
+import scala.util.{Failure, Success, Try}
+
+/** SkipBadRecords crash-guard half (reference:
+  * src/mapred/org/apache/hadoop/mapred/SkipBadRecords.java, anchor
+  * `setMapperMaxSkipRecords`): user code that throws on record N must not
+  * kill the job — the record is skipped and counted. The parse-level half
+  * is [[graft.sources.Formats.permissiveParse]]; this is the half for
+  * failures inside USER code.
+  *
+  * Spark-first shape: the user fn runs inside `Try` in one UDF returning a
+  * (result, error) struct — a bad row carries the error class in a side
+  * channel and flows on; good rows pay one branch. Strictly cheaper and
+  * finer-grained than the reference's skip-range machinery (task re-execution
+  * + binary search over record offsets to locate the bad record), because
+  * Spark lets the guard live inside the operator instead of around the task.
+  * A UDF is the honest vehicle here: the wrapped code is arbitrary user
+  * logic, exactly what the reference's mapper body was.
+  */
+object CrashGuard {
+
+  /** Wrap user code: row → struct(_1 = result or null, _2 = error class or
+    * null). Callers split the struct into the value column and the
+    * corrupt-record side channel (filter `_2 IS NOT NULL` ≙ the reference's
+    * skipped-records counter; see Relational.skipBadRecords).
+    */
+  def guarded[I: TypeTag, O: TypeTag](f: I => O): UserDefinedFunction =
+    udf((i: I) => Try(f(i)) match {
+      case Success(o) => (Option(o), Option.empty[String])
+      case Failure(e) => (Option.empty[O], Option(e.getClass.getSimpleName))
+    })
+}

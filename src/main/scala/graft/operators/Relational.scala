@@ -197,7 +197,30 @@ object Relational extends QueryPack {
       .orderBy($"record_no")
   }
 
+  /** SkipBadRecords (user-code half) as a query: a deliberately-throwing
+    * transform — integer division by `n_chars mod 7`, an
+    * ArithmeticException on every multiple of 7 — runs under
+    * [[CrashGuard.guarded]]; the job completes, bad records land in the
+    * side channel, and the output reports ok/skipped counts per lang plus
+    * the aggregate over surviving rows. The failure condition is
+    * deterministic, so the oracle replays it declaratively.
+    */
+  def skipBadRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userFn = (n: Long) => 1000L / (n % 7) // throws when n % 7 == 0
+    val g = CrashGuard.guarded(userFn)
+    Tables.documents(spark, dir)
+      .select($"lang", g($"n_chars").as("g"))
+      .groupBy($"lang")
+      .agg(
+        count($"g._1").as("n_ok"),
+        count($"g._2").as("n_skipped"),
+        sum($"g._1").as("sum_val"))
+      .orderBy($"lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skip_bad_records" -> (skipBadRecords _),
     "rel_record_numbers" -> (recordNumbers _),
     "rel_sample_md5" -> (sampleMd5 _),
     "rel_identity_scan" -> (identityScan _),
@@ -215,6 +238,12 @@ object Relational extends QueryPack {
     "rel_key_field_sort" -> (keyFieldSort _))
 
   override def oracle: Map[String, String] = Map(
+    "rel_skip_bad_records" ->
+      """SELECT lang,
+        |  COUNT(CASE WHEN n_chars % 7 <> 0 THEN 1 END) AS n_ok,
+        |  COUNT(CASE WHEN n_chars % 7 = 0 THEN 1 END) AS n_skipped,
+        |  CAST(SUM(CASE WHEN n_chars % 7 <> 0 THEN 1000 // (n_chars % 7) END) AS BIGINT) AS sum_val
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "rel_record_numbers" ->
       """SELECT doc_id, n_chars,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS record_no

@@ -314,7 +314,51 @@ object Formats extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
+  /** BloomMapFile parity (reference:
+    * src/core/org/apache/hadoop/io/BloomMapFile.java — a bloom filter in
+    * front of the MapFile answers "definitely absent" without touching the
+    * store). Both halves of that design:
+    *  - storage: the orders parquet is written with a column bloom filter
+    *    (`parquet.bloom.filter.enabled#o_custkey`) so the parquet reader
+    *    can skip row groups on point lookups where min/max stats can't
+    *    prune (unsorted key); BloomSpec asserts the footer carries it;
+    *  - in-memory: `stat.bloomFilter` builds the sketch distributed
+    *    (bitset-OR tree aggregation — map-combinable, one small driver
+    *    object at the end, like a broadcast-join build side) and probes it
+    *    per key. The probe is a tiny closure over the immutable bitset —
+    *    the one place a UDF is the right tool (no native bloom-apply
+    *    expression exists; the sketch object is opaque to codegen).
+    *
+    * Emitted rows are customers THAT HAVE orders: the bloom
+    * no-false-negative contract forces might_contain=true for every one —
+    * which is exactly what makes the result oracle-checkable. The
+    * false-positive rate on absent keys is probabilistic, so BloomSpec
+    * bounds it instead of the hash gate.
+    */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("bloom_orders")
+    Tables.orders(spark, dir).write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+      // parquet-mr drops the bloom when a chunk stays fully
+      // dictionary-encoded (the dictionary is already an exact membership
+      // index). True at toy SF only — at 100 TB the key overflows the
+      // dictionary and the bloom engages; force the at-scale layout here.
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(path)
+    val orders = spark.read.parquet(path)
+    val bf = orders.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.customer(spark, dir)
+      .join(orders.select($"o_custkey".as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", mightContain($"c_custkey").as("might_contain"))
+      .orderBy($"c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_bloom_membership" -> (bloomMembership _),
     "fmt_bucketed_join" -> (bucketedJoin _),
     "fmt_xml_by_tag" -> (xmlByTag _),
     "fmt_json_roundtrip" -> (jsonRoundtrip _),
@@ -331,6 +375,10 @@ object Formats extends QueryPack {
     "fmt_pipe_word_tails" -> (pipeWordTails _))
 
   override def oracle: Map[String, String] = Map(
+    "fmt_bloom_membership" ->
+      """SELECT c_custkey, true AS might_contain FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
     "fmt_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |  SUM(l_quantity) AS sum_qty

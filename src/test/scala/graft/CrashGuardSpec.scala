@@ -1,0 +1,36 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{CrashGuard, Relational}
+import org.apache.spark.sql.functions._
+
+/** SkipBadRecords user-code half: a throwing transform under CrashGuard
+  * completes the job, routes bad records to the side channel, and the
+  * skipped count matches the deterministic failure condition exactly.
+  */
+class CrashGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("guarded user fn: bad rows yield (null, error class), good rows the value") {
+    val g = CrashGuard.guarded((s: String) => s.toLong)
+    val rows = Seq("1", "nope", "3").toDF("s")
+      .select(g($"s").as("g"))
+      .select($"g._1".as("v"), $"g._2".as("err"))
+      .collect()
+    assert(rows.map(r => Option(r.get(0))).toSeq == Seq(Some(1L), None, Some(3L)))
+    assert(rows(1).getString(1) == "NumberFormatException")
+    assert(rows(0).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
+  test("rel_skip_bad_records: job completes; skipped == records where user code throws") {
+    val out = Relational.skipBadRecords(spark, sfDir).collect()
+    val skipped = out.map(_.getLong(2)).sum
+    val ok = out.map(_.getLong(1)).sum
+    val expectSkipped = Tables.documents(spark, sfDir)
+      .filter($"n_chars" % 7 === 0).count()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(skipped == expectSkipped, s"skipped $skipped != deterministic $expectSkipped")
+    assert(ok + skipped == total, "every record is either ok or skipped, never lost")
+    assert(expectSkipped > 0, "test data should exercise the throwing branch")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{DedupOps, SimilarityOps}
+
+/** The `graft.sim.exact` knob: exact all-pairs baselines vs the banded-LSH
+  * candidate path must produce IDENTICAL rows on the test data (band shapes
+  * were sized for total recall there — tools/lsh_recall.py). This is the
+  * "the scale path is the same query, just cheaper" guarantee: flipping the
+  * knob at 100 TB changes cost, not answers (up to LSH recall, which the
+  * band shape dials).
+  */
+class ExactnessSpec extends SparkSpec {
+
+  private def withCandidatePath[A](body: => A): A = {
+    spark.conf.set("graft.sim.exact", "false")
+    try body finally spark.conf.unset("graft.sim.exact")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("sim_pairs_threshold: LSH candidate path ≡ exact all-pairs") {
+    val exact = rowsOf(SimilarityOps.pairsAboveThreshold(spark, sfDir))
+    val banded = withCandidatePath(rowsOf(SimilarityOps.pairsAboveThreshold(spark, sfDir)))
+    assert(exact.nonEmpty, "expected qualifying pairs in test data")
+    assert(banded == exact,
+      s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
+  }
+
+  test("dedup_embedding_cosine: LSH candidate path ≡ exact all-pairs") {
+    val exact = rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir))
+    val banded = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir)))
+    assert(exact.size == 500)
+    assert(banded == exact,
+      s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
+  }
+
+  test("ann_lsh unchanged by the wider hyperplane family (first 16 planes identical)") {
+    // hyperplanes grew 16 → 32 for the candidate configs; annLsh still uses
+    // the first 16, which come from the same seeded stream prefix
+    val planes = SimilarityOps.hyperplanes
+    assert(planes.size == SimilarityOps.NPlanesMax)
+    val rnd = new scala.util.Random(42)
+    val regenerated = Seq.fill(16)(Seq.fill(SimilarityOps.Dim)(
+      if (rnd.nextBoolean()) 1.0f else -1.0f))
+    assert(planes.take(16) == regenerated)
+  }
+}
