@@ -220,6 +220,82 @@ object SimilarityOps extends QueryPack {
       .orderBy($"q_id")
   }
 
+  /** Lloyd k-means coarse quantizer — the production centroid builder the
+    * first-`IvfCells` placeholder in [[annIvf]] points at. Per round:
+    * assignment is ONE codegen scan against broadcast centroids (argmax of
+    * k cosine sims per vector); the refit shuffles only (cell, dim) partial
+    * sums (map-combined, ≤ k·dim·partitions rows in flight — corpus never
+    * reshuffles); the k·dim result returns to the driver like any ML model
+    * parameter (same shape as MLlib's treeAggregate loop). Means are
+    * decimal-exact so centroids are bit-reproducible across partitionings.
+    *
+    * Returns (centroids, inertiaPerRound); inertia = Σ (1 - cos(v, cent(v))),
+    * non-increasing over rounds — KMeansSpec asserts it.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+      k: Int = IvfCells, rounds: Int = 3): (Seq[(Int, Seq[Float])], Seq[Double]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    var cents: Seq[(Int, Seq[Float])] = e.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).toSeq
+    val inertias = Seq.newBuilder[Double]
+    for (_ <- 0 until rounds) {
+      val centsDf = cents.toDF("cent_id", "cent")
+      val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+      val assigned = e.join(broadcast(centsDf))
+        .withColumn("csim", expr("cosine_sim(embedding, cent)"))
+        .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+        .select($"cent_id".as("cell"), $"vec_id", $"embedding", $"csim")
+      inertias += assigned.agg(
+        sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
+      cents = assigned
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast("double").cast(DecimalType(28, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          s => s.getField("m").cast("float")).as("cent"))
+        .orderBy($"cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    }
+    (cents, inertias.result())
+  }
+
+  /** IVF ANN over k-means centroids — [[annIvf]] with the trained coarse
+    * quantizer instead of the first-16 placeholder. Same plan shape (the
+    * centroids are a broadcast literal either way); rows-only at the gate
+    * (float-iterative training has no engine-exact oracle), recall pinned
+    * vs brute force in KMeansSpec.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val (km, _) = kmeansCentroids(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val cents = broadcast(km.toDF("cent_id", "cent"))
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val inverted = e.join(cents)
+      .withColumn("csim", expr("cosine_sim(embedding, cent)"))
+      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+      .select($"cent_id".as("cell"), $"vec_id", $"embedding")
+    val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
+    val probes = q.join(cents)
+      .withColumn("csim", expr("cosine_sim(q_emb, cent)"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= NProbe)
+      .select($"q_id", $"q_emb", $"cent_id".as("cell"))
+    val wS = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(probes).join(inverted, Seq("cell")).filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+      .withColumn("rank", row_number().over(wS)).filter($"rank" === 1)
+      .select($"q_id", $"vec_id".as("nearest_ivf"), round($"cos", 6).as("cos"))
+      .orderBy($"q_id")
+  }
+
   /** Per-label embedding centroids, element-wise — the class-centroid
     * builder behind IVF coarse quantizers and nearest-centroid classifiers.
     * posexplode → groupBy(label, pos) shuffles (dim × n_labels) partial
@@ -244,10 +320,76 @@ object SimilarityOps extends QueryPack {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_ivf_kmeans" -> (annIvfKmeans _),
     "sim_pairs_threshold" -> (pairsAboveThreshold _),
     "sim_nearest_same_label" -> (nearestSameLabel _))
 
+  /** The 16 ann planes as a DuckDB VALUES list — the oracle replays the
+    * exact bucketing. Safe because bucket signs have slack: min |dot| over
+    * every (vector, plane) on the test data is 3.5e-4, ten orders above
+    * double rounding (tools/lsh_recall.py measured it), so Spark's codegen
+    * kernel and DuckDB's list_dot_product agree on every sign.
+    */
+  private lazy val planesSqlValues: String =
+    hyperplanes.take(NPlanes).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(v => if (v > 0) "1" else "-1").mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+
   override def oracle: Map[String, String] = Map(
+    "sim_ann_lsh" ->
+      s"""WITH planes(pid, plane) AS (VALUES $planesSqlValues),
+         |b AS (
+         |  SELECT e.vec_id, p.pid // $PlanesPerTable AS tbl,
+         |    SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+         |             THEN 1 << (p.pid % $PlanesPerTable) ELSE 0 END) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, p.pid // $PlanesPerTable),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+         |                   AND a.vec_id <> c.vec_id),
+         |s AS (
+         |  SELECT cand.v1, cand.v2,
+         |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+         |                           CAST(e2.embedding AS DOUBLE[])) AS cos
+         |  FROM cand JOIN embeddings e1 ON e1.vec_id = cand.v1
+         |            JOIN embeddings e2 ON e2.vec_id = cand.v2),
+         |r AS (SELECT v1, v2, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) AS rn
+         |      FROM s)
+         |SELECT v1 AS vec_id, v2 AS nearest_in_bucket, ROUND(cos, 6) AS cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |inv0 AS (
+         |  SELECT c.cent_id, e.vec_id, e.embedding,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                             CAST(c.cent AS DOUBLE[])) DESC, c.cent_id) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |inverted AS (
+         |  SELECT cent_id AS cell, vec_id, embedding FROM inv0 WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         |pr0 AS (
+         |  SELECT q.q_id, q.q_emb, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |                             CAST(c.cent AS DOUBLE[])) DESC, c.cent_id) AS rn
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (
+         |  SELECT q_id, q_emb, cent_id AS cell FROM pr0 WHERE rn <= $NProbe),
+         |s AS (
+         |  SELECT p.q_id, i.vec_id,
+         |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+         |                           CAST(i.embedding AS DOUBLE[])) AS cos
+         |  FROM probes p JOIN inverted i ON i.cell = p.cell AND i.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |      FROM s)
+         |SELECT q_id, vec_id AS nearest_ivf, ROUND(cos, 6) AS cos
+         |FROM r WHERE rn = 1 ORDER BY q_id""".stripMargin,
     "sim_label_centroids" ->
       """SELECT label, CAST(i AS INT) AS pos,
         |  ROUND(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)

@@ -194,6 +194,30 @@ object Aggregates extends QueryPack {
       .orderBy($"o_orderstatus")
   }
 
+  /** Percentiles via the mergeable sketch (`percentile_approx`,
+    * Greenwald-Khanna summaries) — the 100 TB path next to [[percentiles]]'
+    * exact sort-based form: one pass, map-side combinable, memory bounded
+    * by `accuracy` instead of group size. At an accuracy whose retained
+    * sample capacity exceeds the group size the sketch degenerates to
+    * exact — which is what lets THIS query into the hash gate (DuckDB
+    * `quantile_disc` agrees element-for-element, verified empirically);
+    * production deployments drop accuracy to the default 10000 and accept
+    * the bounded rank error. AggLibSpec pins that tolerance at the
+    * deployment accuracy.
+    */
+  def percentilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_approx(l_quantity, 0.25, 1000000)").as("p25"),
+        expr("percentile_approx(l_quantity, 0.5, 1000000)").as("p50"),
+        expr("percentile_approx(l_quantity, 0.75, 1000000)").as("p75"),
+        expr("percentile_approx(l_quantity, 0.95, 1000000)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Moment statistics per group: stddev/variance/correlation/covariance —
     * rounded so the one-pass (Welford-style) accumulation and the oracle's
     * agree to fixed precision.
@@ -276,6 +300,7 @@ object Aggregates extends QueryPack {
     "agg_multi_distinct" -> (multiDistinct _),
     "agg_topk_per_key" -> (topKPerKey _),
     "agg_percentiles" -> (percentiles _),
+    "agg_percentiles_sketch" -> (percentilesSketch _),
     "agg_stats" -> (statsAgg _),
     "agg_approx_distinct" -> (approxDistinct _))
 
@@ -302,6 +327,14 @@ object Aggregates extends QueryPack {
     "agg_sum_by_key" ->
       """SELECT l_orderkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_percentiles_sketch" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75,
+        |  quantile_disc(l_quantity, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_multi" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${decSumSql("value", "sum_value")},

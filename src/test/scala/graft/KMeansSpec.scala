@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** The k-means coarse quantizer (production IVF path): Lloyd rounds must
+  * not worsen the objective, and the resulting index must retrieve as well
+  * as the placeholder centroids it replaces. Float-iterative training has
+  * no engine-exact oracle, so these properties are the correctness pin.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-means: inertia non-increasing over Lloyd rounds; shapes correct") {
+    val (cents, inertias) = SimilarityOps.kmeansCentroids(spark, sfDir)
+    assert(cents.size == SimilarityOps.IvfCells)
+    assert(cents.forall(_._2.size == SimilarityOps.Dim))
+    assert(inertias.size == 3)
+    inertias.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"inertia rose: $inertias")
+      case _ =>
+    }
+  }
+
+  test("IVF over k-means centroids: nearest lands in brute-force top-3 for most queries") {
+    val brute = SimilarityOps.cosineTopK(spark, sfDir)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = SimilarityOps.annIvfKmeans(spark, sfDir)
+      .select($"q_id", $"nearest_ivf").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = ivf.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(ivf.size == 5, s"expected 5 query rows, got ${ivf.size}")
+    assert(hits >= 3, s"k-means IVF recall too low: $hits/5 in brute-force top-3")
+  }
+
+  test("percentile sketch at deployment accuracy stays within rank-error tolerance") {
+    // agg_percentiles_sketch runs at exactness-forcing accuracy for the hash
+    // gate; deployments use the default 10000 → rank error <= n/10000. On
+    // integer-valued l_quantity that bounds the value error to ~one step.
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val rows = li.groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("approx"),
+        expr("percentile(l_quantity, 0.5)").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0,
+        s"approx p50 ${r.getDouble(1)} too far from exact ${r.getDouble(2)}")
+    }
+  }
+}
