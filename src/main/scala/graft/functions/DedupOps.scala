@@ -57,9 +57,24 @@ object DedupOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5). */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5). The all-pairs
+    * shingle self-join is the oracle-checked baseline — and the known
+    * 100 TB killer (hot shingles explode the join). With
+    * `graft.sim.exact=false` the SAME stats are computed on the MinHash
+    * band-bucket candidate slice instead ([[minhashCandidates]]) — the
+    * path [[minhashLsh]] always uses — so the self-join never touches the
+    * full corpus. ExactnessSpec asserts row-identical output on the test
+    * data (banding recall is total at Jaccard ≥ 0.5 there, per DedupSpec).
+    * [[connectedComponents]] consumes this, so the knob makes clustering
+    * scale-safe too.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    if (!SimilarityOps.exactSim(spark))
+      return jaccardStats(spark, dir, minhashCandidates(spark, dir))
+        .filter($"jaccard" >= 0.5)
+        .select($"d1", $"d2", $"common", $"n1", $"n2", $"jaccard")
+        .orderBy($"d1", $"d2")
     val sh = shingled(spark, dir)
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = sh.select($"doc_id".as("d1"), $"shingle")
@@ -111,12 +126,24 @@ object DedupOps extends QueryPack {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    jaccardStats(spark, dir, minhashCandidates(spark, dir))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Band-bucket candidate (d1 < d2) pairs from the MinHash signatures —
+    * the ONLY corpus-wide shuffle on this path is the map-combined
+    * signature groupBy inside [[minhashSignatures]].
+    */
+  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sigs = minhashSignatures(shingledRaw(spark, dir))
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("bh"))
     }
-    val candidates = sigs
+    sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
       .filter(size($"docs") > 1)
@@ -125,9 +152,18 @@ object DedupOps extends QueryPack {
       .filter($"d1" < $"d2")
       .distinct()
       .cache()
+  }
+
+  /** Exact Jaccard stats (common, n1, n2, jaccard) computed for the given
+    * candidate (d1, d2) pairs only: shingle sets are re-derived for the
+    * candidate doc-id slice alone (broadcast semi-join against the narrow
+    * shingle stream), never for the full corpus.
+    */
+  private def jaccardStats(spark: SparkSession, dir: String,
+      candidates: DataFrame): DataFrame = {
+    import spark.implicits._
     val candDocs = candidates
       .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
-    // distinct shingle sets ONLY for candidate docs (broadcast semi-join)
     val shCand = shingledRaw(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct()
@@ -141,9 +177,6 @@ object DedupOps extends QueryPack {
       .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
       .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
-      .filter($"jaccard" >= 0.5)
-      .select($"d1", $"d2", $"jaccard")
-      .orderBy($"d1", $"d2")
   }
 
   /** SimHash: 64-bit signature; bit b set iff Σ_tokens count·(±1) > 0,

@@ -164,15 +164,31 @@ object SimilarityOps extends QueryPack {
 
   /** Label-filtered search: nearest same-label neighbor per vector —
     * the "find me more like this, within this class" pipeline query.
+    * Exact form joins all pairs within a label (oracle baseline); with
+    * `graft.sim.exact=false` the argmax runs over banded LSH candidates
+    * filtered to the label — top-1 retrieval has no threshold to lean on,
+    * so it gets the most recall-heavy shape, 32 single-plane hemispheres
+    * (covers every vector's true same-label nearest at every SF;
+    * tools/lsh_recall.py + ExactnessSpec).
     */
   def nearestSameLabel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
-    val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
+    val pairs =
+      if (exactSim(spark)) {
+        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
+        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
+        a.join(b, Seq("label")).filter($"v1" =!= $"v2")
+      } else {
+        val cand = lshCandidateIds(spark, dir, nTables = 32, planesPerTable = 1)
+        cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
+          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
+          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label"), Seq("v2"))
+          .filter($"l1" === $"label")
+      }
     val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
-    a.join(b, Seq("label")).filter($"v1" =!= $"v2")
+    pairs
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" === 1)

@@ -35,6 +35,28 @@ class ExactnessSpec extends SparkSpec {
       s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
   }
 
+  test("sim_nearest_same_label: LSH candidate path ≡ exact per-label all-pairs") {
+    val exact = rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir))
+    val banded = withCandidatePath(rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir)))
+    assert(exact.size == 500, "every vector has a same-label neighbor in test data")
+    assert(banded == exact,
+      s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
+  }
+
+  test("dedup_ngram_jaccard: MinHash candidate path ≡ exact shingle self-join") {
+    val exact = rowsOf(DedupOps.ngramJaccard(spark, sfDir))
+    val banded = withCandidatePath(rowsOf(DedupOps.ngramJaccard(spark, sfDir)))
+    assert(exact.nonEmpty, "expected planted near-dup pairs in test data")
+    assert(banded == exact,
+      s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
+  }
+
+  test("dedup_connected_components inherits the scale path through ngramJaccard") {
+    val exact = rowsOf(DedupOps.connectedComponents(spark, sfDir))
+    val banded = withCandidatePath(rowsOf(DedupOps.connectedComponents(spark, sfDir)))
+    assert(banded == exact)
+  }
+
   test("ann_lsh unchanged by the wider hyperplane family (first 16 planes identical)") {
     // hyperplanes grew 16 → 32 for the candidate configs; annLsh still uses
     // the first 16, which come from the same seeded stream prefix
