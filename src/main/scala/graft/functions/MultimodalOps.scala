@@ -140,6 +140,28 @@ object MultimodalOps extends QueryPack {
         |  FROM documents)
         |SELECT asset_id, n_frames, CAST(UNNEST(range(0, n_frames, 5)) AS INT) AS frame_idx
         |FROM a ORDER BY asset_id, frame_idx""".stripMargin,
+    // Valid because the test corpus is pure ASCII (byte == codepoint ==
+    // `ord`), letting DuckDB replay the byte loop declaratively; the Spark
+    // kernel itself is byte-general. Empty payloads survive the LEFT JOIN
+    // with mean_byte = 0.0, mirroring the kernel's isEmpty branch.
+    "mm_decode_stub" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    CAST(n_chars % 64 + 16 AS INT) AS width,
+        |    CAST(n_chars % 48 + 16 AS INT) AS height
+        |  FROM documents),
+        |b AS (
+        |  SELECT a2.asset_id AS bid, ord(substr(a2.text, CAST(i AS INT), 1)) AS byte
+        |  FROM a a2, UNNEST(range(1, length(a2.text) + 1)) AS u(i))
+        |SELECT a.asset_id, a.width, a.height,
+        |  COALESCE(CAST(SUM(b.byte) AS DOUBLE) / NULLIF(COUNT(b.byte), 0), 0.0) AS mean_byte,
+        |  CAST(COUNT(CASE WHEN b.byte % 4 = 0 THEN 1 END) AS DOUBLE) AS f0,
+        |  CAST(COUNT(CASE WHEN b.byte % 4 = 1 THEN 1 END) AS DOUBLE) AS f1,
+        |  CAST(COUNT(CASE WHEN b.byte % 4 = 2 THEN 1 END) AS DOUBLE) AS f2,
+        |  CAST(COUNT(CASE WHEN b.byte % 4 = 3 THEN 1 END) AS DOUBLE) AS f3
+        |FROM a LEFT JOIN b ON a.asset_id = b.bid
+        |GROUP BY a.asset_id, a.width, a.height
+        |ORDER BY asset_id""".stripMargin,
     "mm_resize_meta" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,
