@@ -66,7 +66,7 @@ object SimilarityOps extends QueryPack {
     * callers that need them).
     */
   def lshCandidateIds(spark: SparkSession, dir: String,
-      nTables: Int, planesPerTable: Int): DataFrame = {
+      nTables: Int, planesPerTable: Int, within: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     require(nTables * planesPerTable <= NPlanesMax,
       s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
@@ -79,11 +79,15 @@ object SimilarityOps extends QueryPack {
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
+    // `within` columns partition the index (e.g. per-label): buckets only
+    // pair inside the same partition value, shrinking candidate volume
+    // for partition-filtered searches without touching the signatures
     val bucketed = Tables.embeddings(spark, dir)
       .withColumn("planes", typedLit(hyperplanes))
-      .select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
-    bucketed.select($"tb", $"vec_id".as("v1"))
-      .join(bucketed.select($"tb", $"vec_id".as("v2")), Seq("tb"))
+      .select($"vec_id" +: within.map(col) :+ explode(array(tableBuckets: _*)).as("tb"): _*)
+    val keys = "tb" +: within
+    bucketed.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
+      .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
       .filter($"v1" < $"v2")
       .select($"v1", $"v2").distinct()
   }
@@ -181,11 +185,13 @@ object SimilarityOps extends QueryPack {
         val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
         a.join(b, Seq("label")).filter($"v1" =!= $"v2")
       } else {
-        val cand = lshCandidateIds(spark, dir, nTables = 32, planesPerTable = 1)
+        // per-label index: buckets pair within a label only (same coverage
+        // for same-label pairs as a global index, ~|labels|× less volume)
+        val cand = lshCandidateIds(spark, dir, nTables = 32, planesPerTable = 1,
+          within = Seq("label"))
         cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
-          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
-          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label"), Seq("v2"))
-          .filter($"l1" === $"label")
+          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
+          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
       }
     val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
     pairs

@@ -109,6 +109,29 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial min for signatures:\n$plan")
   }
 
+  test("percentile sketch aggregates partial then final (mergeable at scale)") {
+    val plan = graft.operators.Aggregates.percentilesSketch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"),
+      s"expected map-side partial sketch merge:\n$plan")
+  }
+
+  test("bloom membership: the present-keys semi-join broadcasts") {
+    val plan = planOf(graft.sources.Formats.bloomMembership(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join for the probe set:\n$plan")
+  }
+
+  test("LSH candidate distinct runs on id pairs, not embedding arrays") {
+    val plan = graft.functions.SimilarityOps
+      .lshCandidateIds(spark, sfDir, nTables = 8, planesPerTable = 4)
+      .queryExecution.executedPlan.toString
+    // the distinct's aggregation keys must be exactly the two id columns
+    val keyPattern = """keys=\[v1#\d+L?, v2#\d+L?\]""".r
+    assert(keyPattern.findFirstIn(plan).isDefined,
+      s"expected distinct keyed on (v1, v2) only:\n$plan")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
