@@ -16,6 +16,10 @@ object Verify {
       // to TimestampType in graft.core.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // SPARK_GRAFT_SIM_EXACT=false re-runs the whole gate over the
+      // banded-LSH candidate paths — the oracles must STILL hash-match
+      // (exact ≡ banded on the test data; see ExactnessSpec)
+      .config("graft.sim.exact", sys.env.getOrElse("SPARK_GRAFT_SIM_EXACT", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

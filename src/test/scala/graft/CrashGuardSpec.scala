@@ -22,6 +22,31 @@ class CrashGuardSpec extends SparkSpec {
     assert(rows(0).isNullAt(1) && rows(2).isNullAt(1))
   }
 
+  test("property: guard semantics match scala Try on arbitrary inputs (seeded generator)") {
+    // deterministic seeded cases (JoinPropSpec pattern: drive scalacheck
+    // Gen directly; each case costs a Spark job, so bounded case list)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genInputs = Gen.listOfN(30, Gen.oneOf(
+      Gen.choose(-1000L, 1000L).map(_.toString),
+      Gen.alphaStr.map(_.take(8)),
+      Gen.const(""), Gen.const("9223372036854775808")))
+    val inputs = (0 until 4).flatMap { i =>
+      genInputs(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil)
+    }
+    val g = CrashGuard.guarded((s: String) => s.toLong)
+    val got = inputs.toDF("s").select($"s", g($"s").as("g"))
+      .select($"s", $"g._1".as("v"), $"g._2".as("err")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    val expected = inputs.map { s =>
+      scala.util.Try(s.toLong) match {
+        case scala.util.Success(v) => (s, Some(v), None)
+        case scala.util.Failure(e) => (s, None, Some(e.getClass.getSimpleName))
+      }
+    }
+    assert(got == expected)
+  }
+
   test("rel_skip_bad_records: job completes; skipped == records where user code throws") {
     val out = Relational.skipBadRecords(spark, sfDir).collect()
     val skipped = out.map(_.getLong(2)).sum
