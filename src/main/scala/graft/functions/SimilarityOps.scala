@@ -92,6 +92,13 @@ object SimilarityOps extends QueryPack {
       .select($"v1", $"v2").distinct()
   }
 
+  /** Brute-force exact top-k: broadcast queries, one codegen scoring scan,
+    * then the bounded-heap [[graft.functions.TopKAgg]] per query id —
+    * map-side partial heaps mean the shuffle carries ≤ k rows per
+    * (query, partition), versus the window row_number form which shuffles
+    * EVERY scored candidate to rank it. Same output (heap order = window
+    * order: score desc, id asc), oracle-checked either way.
+    */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -99,12 +106,14 @@ object SimilarityOps extends QueryPack {
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val c = e.select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")
+    val topk = udaf(new graft.functions.TopKAgg(3))
     c.join(broadcast(q), $"c_id" =!= $"q_id")
       .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos"))
+      .groupBy($"q_id")
+      .agg(topk($"cos", $"c_id").as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rank"),
+        $"col.key".as("c_id"), round($"col.score", 6).as("cos"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -131,10 +140,12 @@ object SimilarityOps extends QueryPack {
       .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
       .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
-    val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
-    pairs.withColumn("rank", row_number().over(w))
-      .filter($"rank" === 1)
-      .select($"v1".as("vec_id"), $"v2".as("nearest_in_bucket"), round($"cos", 6).as("cos"))
+    // per-v1 argmax as a partial-aggregable max_by (ordering struct encodes
+    // the window's (cos desc, v2 asc) tie-break as (cos, -v2) max) — the
+    // shuffle carries one row per (v1, partition), not every scored pair
+    pairs.groupBy($"v1")
+      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
+      .select($"v1".as("vec_id"), $"b.v2".as("nearest_in_bucket"), round($"b.cos", 6).as("cos"))
       .orderBy($"vec_id")
   }
 
@@ -193,12 +204,11 @@ object SimilarityOps extends QueryPack {
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
       }
-    val w = Window.partitionBy($"v1").orderBy($"cos".desc, $"v2")
     pairs
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" === 1)
-      .select($"v1".as("vec_id"), $"label", $"v2".as("nearest"), round($"cos", 6).as("cos"))
+      .groupBy($"v1", $"label")
+      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
+      .select($"v1".as("vec_id"), $"label", $"b.v2".as("nearest"), round($"b.cos", 6).as("cos"))
       .orderBy($"vec_id")
   }
 
@@ -217,29 +227,42 @@ object SimilarityOps extends QueryPack {
     * Rows-only check (sketch path); DedupSimSpec asserts recall vs the
     * brute-force `sim_cosine_topk` baseline.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val cents = e.filter($"vec_id" < IvfCells)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
-    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+  /** IVF probe plan shared by the first-K and k-means centroid variants.
+    * Corpus-side argmaxes (cell assignment, final search) are
+    * partial-aggregable `max_by` with the (score, -id) ordering struct —
+    * one row per (group, partition) in the shuffle, no corpus-wide window
+    * sort. The probe ranking stays a window: it runs on the tiny broadcast
+    * query side, not the corpus.
+    */
+  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val inverted = e.join(broadcast(cents))
       .withColumn("csim", expr("cosine_sim(embedding, cent)"))
-      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
-      .select($"cent_id".as("cell"), $"vec_id", $"embedding")
+      .groupBy($"vec_id")
+      .agg(max_by($"cent_id", struct($"csim", (-$"cent_id").as("nc"))).as("cell"),
+        first($"embedding").as("embedding"))
+      .select($"cell", $"vec_id", $"embedding")
     val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
     val probes = q.join(broadcast(cents))
       .withColumn("csim", expr("cosine_sim(q_emb, cent)"))
       .withColumn("rn", row_number().over(wP)).filter($"rn" <= NProbe)
       .select($"q_id", $"q_emb", $"cent_id".as("cell"))
-    val wS = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     broadcast(probes).join(inverted, Seq("cell")).filter($"vec_id" =!= $"q_id")
       .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rank", row_number().over(wS)).filter($"rank" === 1)
-      .select($"q_id", $"vec_id".as("nearest_ivf"), round($"cos", 6).as("cos"))
+      .groupBy($"q_id")
+      .agg(max_by(struct($"vec_id", $"cos"), struct($"cos", (-$"vec_id").as("nv"))).as("b"))
+      .select($"q_id", $"b.vec_id".as("nearest_ivf"), round($"b.cos", 6).as("cos"))
       .orderBy($"q_id")
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    ivfSearch(e, cents)
   }
 
   /** Lloyd k-means coarse quantizer — the production centroid builder the
@@ -266,11 +289,13 @@ object SimilarityOps extends QueryPack {
     val inertias = Seq.newBuilder[Double]
     for (_ <- 0 until rounds) {
       val centsDf = cents.toDF("cent_id", "cent")
-      val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
       val assigned = e.join(broadcast(centsDf))
         .withColumn("csim", expr("cosine_sim(embedding, cent)"))
-        .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
-        .select($"cent_id".as("cell"), $"vec_id", $"embedding", $"csim")
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cent_id", $"csim"),
+            struct($"csim", (-$"cent_id").as("nc"))).as("b"),
+          first($"embedding").as("embedding"))
+        .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
       inertias += assigned.agg(
         sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
       cents = assigned
@@ -298,24 +323,7 @@ object SimilarityOps extends QueryPack {
     GraftFunctions.register(spark)
     val (km, _) = kmeansCentroids(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val cents = broadcast(km.toDF("cent_id", "cent"))
-    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
-    val inverted = e.join(cents)
-      .withColumn("csim", expr("cosine_sim(embedding, cent)"))
-      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
-      .select($"cent_id".as("cell"), $"vec_id", $"embedding")
-    val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
-    val probes = q.join(cents)
-      .withColumn("csim", expr("cosine_sim(q_emb, cent)"))
-      .withColumn("rn", row_number().over(wP)).filter($"rn" <= NProbe)
-      .select($"q_id", $"q_emb", $"cent_id".as("cell"))
-    val wS = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    broadcast(probes).join(inverted, Seq("cell")).filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
-      .withColumn("rank", row_number().over(wS)).filter($"rank" === 1)
-      .select($"q_id", $"vec_id".as("nearest_ivf"), round($"cos", 6).as("cos"))
-      .orderBy($"q_id")
+    ivfSearch(e, km.toDF("cent_id", "cent"))
   }
 
   /** Per-label embedding centroids, element-wise — the class-centroid

@@ -132,6 +132,15 @@ class PlanSpec extends SparkSpec {
       s"expected distinct keyed on (v1, v2) only:\n$plan")
   }
 
+  test("cosine top-k merges bounded heaps map-side, no window rank shuffle") {
+    val plan = graft.functions.SimilarityOps.cosineTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_"),
+      s"expected partial heap aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window rank would shuffle every scored candidate:\n$plan")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
