@@ -93,6 +93,25 @@ class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
 
+/** [[TopKAgg]] with string payloads (top tokens/bigrams per group). */
+case class ScoredStr(score: Double, key: String)
+
+/** String-keyed bounded-heap per-key top-k; same contract as [[TopKAgg]]
+  * (score desc, key asc ties), for vocabulary-shaped payloads where the
+  * per-group domain is unbounded at scale.
+  */
+class TopKStrAgg(k: Int) extends Aggregator[ScoredStr, List[ScoredStr], Seq[ScoredStr]] {
+  private def ord(s: ScoredStr): (Double, String) = (-s.score, s.key)
+  private def trim(l: List[ScoredStr]): List[ScoredStr] = l.sortBy(ord).take(k)
+  override def zero: List[ScoredStr] = Nil
+  override def reduce(b: List[ScoredStr], v: ScoredStr): List[ScoredStr] = trim(v :: b)
+  override def merge(a: List[ScoredStr], b: List[ScoredStr]): List[ScoredStr] = trim(a ::: b)
+  override def finish(l: List[ScoredStr]): Seq[ScoredStr] = l.sortBy(ord)
+  override def bufferEncoder: Encoder[List[ScoredStr]] = Encoders.kryo[List[ScoredStr]]
+  override def outputEncoder: Encoder[Seq[ScoredStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
+}
+
 /** Config-driven aggregator registry — the moral successor of
   * `ValueAggregatorJob`'s descriptor strings ("LongValueSum:col", ...):
   * one `groupBy.agg` computes the whole descriptor list in a single pass.

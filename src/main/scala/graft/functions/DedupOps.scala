@@ -244,12 +244,15 @@ object DedupOps extends QueryPack {
     */
   def exactDedupKeepLongest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"content_sha").orderBy($"n_chars".desc, $"doc_id")
+    // keep-policy argmax as partial-aggregable max_by: ordering struct
+    // (n_chars, -doc_id) = "longest, ties to min id"; the shuffle carries
+    // one winner per (sha, partition), not every duplicate
     Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars", sha2(normText, 256).as("content_sha"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"content_sha", $"n_chars")
+      .groupBy($"content_sha")
+      .agg(max_by(struct($"doc_id", $"n_chars"),
+        struct($"n_chars", (-$"doc_id").as("nd"))).as("b"))
+      .select($"b.doc_id".as("doc_id"), $"content_sha", $"b.n_chars".as("n_chars"))
       .orderBy($"doc_id")
   }
 

@@ -144,10 +144,14 @@ object TextOps extends QueryPack {
       .select($"lang", explode(bigrams).as("bigram"))
       .filter(size(split($"bigram", " ")) === 2)
       .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
-    counts.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"lang", $"rank".cast("int").as("rank"), $"bigram", $"n")
+    // bounded heap per lang: at corpus scale the per-language vocabulary is
+    // unbounded — a window rank would shuffle and sort the whole vocabulary
+    val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(5))
+    counts.groupBy($"lang")
+      .agg(topk($"n".cast("double"), $"bigram").as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+        $"col.key".as("bigram"), $"col.score".cast("long").as("n"))
       .orderBy($"lang", $"rank")
   }
 

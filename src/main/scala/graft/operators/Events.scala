@@ -80,12 +80,13 @@ object Events extends QueryPack {
     */
   def firstEventPerUserType(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    // partial-aggregable min_by (ordering struct = the (ts, event_id)
+    // tie-break): map-side combine keeps one candidate per key per
+    // partition — a window row_number would shuffle and sort every event
     Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .groupBy($"user_id", $"event_type")
+      .agg(min_by(struct($"event_id", $"ts"), struct($"ts", $"event_id")).as("b"))
+      .select($"user_id", $"event_type", $"b.event_id".as("event_id"), $"b.ts".as("ts"))
       .orderBy($"user_id", $"event_type")
   }
 
