@@ -72,8 +72,13 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
-    // parse in round 1 — also write the line to a file it can read directly.
+    // parse in round 1 — also write the line to a file it can read directly
+    // (cwd and, when launched elsewhere, the known repo root).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line)
+    val repoRoot = java.nio.file.Paths.get("/root/repo")
+    if (java.nio.file.Files.isDirectory(repoRoot) && !java.nio.file.Files.isSameFile(
+        repoRoot, java.nio.file.Paths.get("").toAbsolutePath))
+      java.nio.file.Files.writeString(repoRoot.resolve("bench_result.json"), line)
     spark.stop()
   }
 }

@@ -53,7 +53,13 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // second location: cwd-relative only resolves to the repo root when the
+    // JVM launched there — anchor on the known repo path too
     Files.writeString(Paths.get("oracle_sql.json"), json)
+    val repoRoot = Paths.get("/root/repo")
+    if (Files.isDirectory(repoRoot) && !Files.isSameFile(
+        repoRoot, Paths.get("").toAbsolutePath))
+      Files.writeString(repoRoot.resolve("oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -81,13 +81,17 @@ case class Scored(score: Double, key: Long)
   * pattern (SURVEY §2.6), generalized per key and map-combined.
   * Ordering: score desc, then key asc (deterministic ties).
   */
-class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
-  private def ord(s: Scored): (Double, Long) = (-s.score, s.key)
-  private def trim(l: List[Scored]): List[Scored] = l.sortBy(ord).take(k)
-  override def zero: List[Scored] = Nil
-  override def reduce(b: List[Scored], v: Scored): List[Scored] = trim(v :: b)
-  override def merge(a: List[Scored], b: List[Scored]): List[Scored] = trim(a ::: b)
-  override def finish(l: List[Scored]): Seq[Scored] = l.sortBy(ord)
+abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
+    extends Aggregator[S, List[S], Seq[S]] {
+  private def trim(l: List[S]): List[S] = l.sorted(ord).take(k)
+  override def zero: List[S] = Nil
+  override def reduce(b: List[S], v: S): List[S] = trim(v :: b)
+  override def merge(a: List[S], b: List[S]): List[S] = trim(a ::: b)
+  override def finish(l: List[S]): Seq[S] = l.sorted(ord)
+}
+
+class TopKAgg(k: Int) extends BoundedTopK[Scored](k,
+    Ordering.by((s: Scored) => (-s.score, s.key))) {
   override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
@@ -96,17 +100,31 @@ class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
 /** [[TopKAgg]] with string payloads (top tokens/bigrams per group). */
 case class ScoredStr(score: Double, key: String)
 
+object ScoredStr {
+  /** Binary UTF-8 ordering — what Spark SQL's string comparison and the
+    * DuckDB oracle's ORDER BY both use. JVM `String.compareTo` (UTF-16
+    * code units) would diverge on supplementary-plane characters tied at
+    * the k boundary.
+    */
+  val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var c = 0
+    while (c == 0 && i < n) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (c != 0) c else x.length - y.length
+  }
+}
+
 /** String-keyed bounded-heap per-key top-k; same contract as [[TopKAgg]]
-  * (score desc, key asc ties), for vocabulary-shaped payloads where the
-  * per-group domain is unbounded at scale.
+  * (score desc, key asc ties — UTF-8 binary order, matching engine/oracle),
+  * for vocabulary-shaped payloads where the per-group domain is unbounded
+  * at scale.
   */
-class TopKStrAgg(k: Int) extends Aggregator[ScoredStr, List[ScoredStr], Seq[ScoredStr]] {
-  private def ord(s: ScoredStr): (Double, String) = (-s.score, s.key)
-  private def trim(l: List[ScoredStr]): List[ScoredStr] = l.sortBy(ord).take(k)
-  override def zero: List[ScoredStr] = Nil
-  override def reduce(b: List[ScoredStr], v: ScoredStr): List[ScoredStr] = trim(v :: b)
-  override def merge(a: List[ScoredStr], b: List[ScoredStr]): List[ScoredStr] = trim(a ::: b)
-  override def finish(l: List[ScoredStr]): Seq[ScoredStr] = l.sortBy(ord)
+class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
+    Ordering.by((s: ScoredStr) => (-s.score, s.key))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, ScoredStr.utf8Ordering))) {
   override def bufferEncoder: Encoder[List[ScoredStr]] = Encoders.kryo[List[ScoredStr]]
   override def outputEncoder: Encoder[Seq[ScoredStr]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()

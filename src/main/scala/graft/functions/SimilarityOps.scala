@@ -296,9 +296,10 @@ object SimilarityOps extends QueryPack {
             struct($"csim", (-$"cent_id").as("nc"))).as("b"),
           first($"embedding").as("embedding"))
         .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
+        .persist() // two actions below (inertia, refit) — scan the corpus once
       inertias += assigned.agg(
         sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
-      cents = assigned
+      val refit = assigned
         .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
         .agg((sum($"x".cast("double").cast(DecimalType(28, 9))).cast("double") /
@@ -306,8 +307,12 @@ object SimilarityOps extends QueryPack {
         .groupBy($"cell")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
           s => s.getField("m").cast("float")).as("cent"))
-        .orderBy($"cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      assigned.unpersist()
+      // a centroid that won zero vectors this round keeps its previous
+      // position (standard empty-cluster handling) — k never shrinks
+      cents = cents.map { case (id, old) => (id, refit.getOrElse(id, old)) }
     }
     (cents, inertias.result())
   }

@@ -24,9 +24,11 @@ import scala.util.{Failure, Success, Try}
 object CrashGuard {
 
   /** Wrap user code: row → struct(_1 = result or null, _2 = error class or
-    * null). Callers split the struct into the value column and the
-    * corrupt-record side channel (filter `_2 IS NOT NULL` ≙ the reference's
-    * skipped-records counter; see Relational.skipBadRecords).
+    * null). The ERROR field is the ok/skipped discriminator — `_2 IS NULL`
+    * means the record succeeded (possibly with a legitimately-null result),
+    * `_2 IS NOT NULL` is the corrupt-record side channel (≙ the reference's
+    * skipped-records counter). Counting on `_1` instead would lose
+    * null-returning successes. See Relational.skipBadRecords.
     */
   def guarded[I: TypeTag, O: TypeTag](f: I => O): UserDefinedFunction =
     udf((i: I) => Try(f(i)) match {

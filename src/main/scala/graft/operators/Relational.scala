@@ -213,7 +213,9 @@ object Relational extends QueryPack {
       .select($"lang", g($"n_chars").as("g"))
       .groupBy($"lang")
       .agg(
-        count($"g._1").as("n_ok"),
+        // the error field discriminates ok/skipped (a success may carry a
+        // legitimately-null value; counting g._1 would drop it)
+        count(when($"g._2".isNull, lit(1))).as("n_ok"),
         count($"g._2").as("n_skipped"),
         sum($"g._1").as("sum_val"))
       .orderBy($"lang")

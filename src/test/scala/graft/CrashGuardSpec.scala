@@ -22,6 +22,20 @@ class CrashGuardSpec extends SparkSpec {
     assert(rows(0).isNullAt(1) && rows(2).isNullAt(1))
   }
 
+  test("a legitimately-null success is ok (error field is the discriminator), not lost") {
+    val g = CrashGuard.guarded((s: String) =>
+      if (s == "boom") throw new RuntimeException("x")
+      else if (s == "miss") null else s.toUpperCase)
+    val rows = Seq("a", "miss", "boom").toDF("s")
+      .select(g($"s").as("g"))
+      .agg(
+        count(when($"g._2".isNull, lit(1))).as("ok"),
+        count($"g._2").as("skipped"))
+      .head()
+    assert(rows.getLong(0) == 2, "null-returning success must count as ok")
+    assert(rows.getLong(1) == 1)
+  }
+
   test("property: guard semantics match scala Try on arbitrary inputs (seeded generator)") {
     // deterministic seeded cases (JoinPropSpec pattern: drive scalacheck
     // Gen directly; each case costs a Spark job, so bounded case list)

@@ -46,9 +46,11 @@ def main():
 
     for n_planes in (16, 24, 32):
         P = planes(n_planes, X.shape[1]).astype(np.float64)
-        # float32 dot in Scala (dot_product on float arrays) — sign is what
-        # matters; compute in float32 to match bit-for-bit at the boundary
-        S = (X.astype(np.float32) @ P.astype(np.float32).T) > 0.0
+        # the Scala dot_product kernel widens float inputs and accumulates
+        # in float64 — compute in float64 here too (numpy's pairwise
+        # accumulation differs from sequential at ~1e-16, far below the
+        # measured minimum sign margin of 3.5e-4, so signs agree)
+        S = (X @ P.T) > 0.0
         for ppt in (1, 2, 4):
             if n_planes % ppt:
                 continue
