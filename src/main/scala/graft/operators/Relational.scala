@@ -189,12 +189,23 @@ object Relational extends QueryPack {
     */
   def recordNumbers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"n_chars".desc, $"doc_id")
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars",
-        (row_number().over(w) - 1).cast("bigint").as("record_no"))
-      .orderBy($"record_no")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // Distributed total-order numbering (TotalOrderPartitioner style):
+    // range-partition on the sort key, sort within partitions, then
+    // zipWithIndex — one small count job for partition offsets plus
+    // per-partition increments. A global row_number window would move
+    // every record through ONE reducer; this is the one numbering shape
+    // that survives 100 TB. The sort is total (doc_id tiebreak), so the
+    // numbering is deterministic regardless of partition boundaries.
+    val sorted = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .repartitionByRange($"n_chars".desc, $"doc_id")
+      .sortWithinPartitions($"n_chars".desc, $"doc_id")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("record_no", LongType, nullable = false))
+    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(numbered, schema).orderBy($"record_no")
   }
 
   /** SkipBadRecords (user-code half) as a query: a deliberately-throwing
