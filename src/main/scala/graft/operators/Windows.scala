@@ -62,6 +62,14 @@ object Windows extends QueryPack {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
+  /** Global ntile / percent_rank / cume_dist — the §2.8 operator surface,
+    * exercised as Spark's window functions. NOTE the unpartitioned window
+    * is a single-reducer shape: this query exists to witness the operators'
+    * semantics; at 100 TB a global quantile assignment runs as
+    * range-partition + zipWithIndex + `bucket = idx * n / count` (the
+    * [[Relational.recordNumbers]] pattern) or `ntile` within real
+    * partitions. Every other window in this pack is partitioned.
+    */
   def ntileDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"c_acctbal", $"c_custkey")
