@@ -79,6 +79,39 @@ class LawsSpec extends SparkSpec {
     assert(r1 == r2) // quantities integral: exact under reordering
   }
 
+  test("bounded top-k heap: merge is order-insensitive and equals sort-take (distribution law)") {
+    // the Aggregator contract under arbitrary partial aggregation: any
+    // grouping/ordering of reduce+merge must equal global sort-take —
+    // this is exactly what makes the map-side heap safe on any cluster
+    import graft.functions.{Scored, ScoredStr, TopKAgg, TopKStrAgg}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val agg = new TopKAgg(3)
+    val genVals = Gen.listOf(for {
+      s <- Gen.choose(0, 50).map(_.toDouble) // coarse scores force ties
+      k <- Gen.choose(0L, 30L)
+    } yield Scored(s, k))
+    (0 until 30).foreach { i =>
+      val vals = genVals(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      val expected = vals.sortBy(s => (-s.score, s.key)).take(3)
+      // arbitrary partition split + merge order
+      val split = vals.grouped(math.max(1, vals.size / 3)).toList
+      val partials = split.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val mergedLtr = partials.foldLeft(agg.zero)(agg.merge)
+      val mergedRtl = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(mergedLtr) == expected, s"case $i ltr")
+      assert(agg.finish(mergedRtl) == expected, s"case $i rtl")
+    }
+    // string variant: UTF-8 tie-break must match Spark/DuckDB binary order,
+    // including supplementary-plane vs BMP characters at the boundary
+    val sAgg = new TopKStrAgg(2)
+    val tied = List(ScoredStr(1.0, "￥"), ScoredStr(1.0, "😀"),
+      ScoredStr(1.0, "z"), ScoredStr(2.0, "a"))
+    val out = sAgg.finish(tied.foldLeft(sAgg.zero)(sAgg.reduce))
+    // binary UTF-8: 'z' (0x7A) < U+FFE5 (0xEF..) < U+1F600 (0xF0..)
+    assert(out == List(ScoredStr(2.0, "a"), ScoredStr(1.0, "z")), s"got $out")
+  }
+
   test("as-of join matches brute-force model") {
     val got = graft.operators.Joins.asofJoin(spark, sfDir)
       .select($"event_id", $"matched_orderkey").collect()
