@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("crash guard works inside a streaming query (bad records skip, stream survives)") {
+    // SkipBadRecords semantics under Structured Streaming: the guard is a
+    // plain expression, so a throwing record lands in the side channel and
+    // the micro-batch completes instead of failing the query
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val g = graft.operators.CrashGuard.guarded((s: String) => s.toLong)
+    val q = mem.toDF().toDF("s")
+      .select(g($"s").as("g"))
+      .groupBy()
+      .agg(
+        count(when($"g._2".isNull, lit(1))).as("ok"),
+        count($"g._2").as("skipped"))
+      .writeStream.format("memory").queryName("t_spec_guard")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData("1", "nope", "2"); q.processAllAvailable()
+    mem.addData("boom", "3"); q.processAllAvailable()
+    q.stop()
+    val r = spark.table("t_spec_guard").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2,
+      s"expected 3 ok / 2 skipped, got ${r.getLong(0)}/${r.getLong(1)}")
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
