@@ -155,7 +155,53 @@ object TextOps extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** Deterministic train/val/test split — the assignment a training
+    * pipeline must hold stable across runs, engines, and cluster sizes so
+    * a document never migrates between splits (eval leakage). Bucket =
+    * first md5 byte of the doc id; hex-string thresholds ('e6' = 230/256 ≈
+    * 90%, 'f3' = 243/256 ≈ +5%) compare identically in every engine, no
+    * hex-to-int conversion needed. Pure narrow map — no shuffle at any
+    * scale.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", bucket.as("bucket"),
+        when(bucket < "e6", "train")
+          .when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Class-balanced subsample: cap each language at 30 documents, chosen
+    * by md5 order (deterministic, unbiased w.r.t. content). The per-class
+    * selection uses the bounded-heap [[TopKStrAgg]] over a fixed-width
+    * (md5 ‖ zero-padded doc_id) sort key — map-side heaps keep ≤ 30 rows
+    * per (lang, partition) in flight, where a per-class row_number window
+    * would shuffle every document. The oracle is the window form, holding
+    * the heap to the declarative semantics.
+    */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 30
+    // constant score → the heap keeps the k smallest keys in UTF-8 order;
+    // doc_id zero-padded so string order == numeric order on the tiebreak
+    val key = concat(md5($"doc_id".cast("string")),
+      lpad($"doc_id".cast("string"), 12, "0"))
+    val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(cap))
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(topk(lit(0.0), key).as("sel"))
+      .select($"lang", posexplode($"sel"))
+      .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+        substring($"col.key", 33, 12).cast("bigint").as("doc_id"))
+      .orderBy($"lang", $"rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_train_split" -> (trainSplit _),
+    "text_balanced_sample" -> (balancedSample _),
     "text_ngram_freq" -> (ngramFreq _),
     "text_wordcount" -> (wordCount _),
     "text_grep" -> (grep _),
@@ -167,6 +213,24 @@ object TextOps extends QueryPack {
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
   override def oracle: Map[String, String] = Map(
+    "text_train_split" ->
+      """SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_balanced_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key) AS rank
+        |  FROM k)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id
+        |FROM r WHERE rank <= 30 ORDER BY lang, rank""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (
         |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
