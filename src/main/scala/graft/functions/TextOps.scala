@@ -199,7 +199,57 @@ object TextOps extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** Sequence packing: assign documents (in stable doc_id order) to
+    * fixed-token-budget training sequences — the "pack the corpus into
+    * 512-token rows" step before tokenized training. A document's
+    * `seq_id` is the budget bucket its first token lands in (greedy,
+    * order-preserving, documents not split).
+    *
+    * The cumulative token count is a DISTRIBUTED PREFIX SCAN — the one
+    * primitive Spark's declarative surface lacks: range-partition and
+    * sort by doc_id, one small job collects per-partition token totals
+    * (the prefix offsets, numPartitions longs to the driver), then a
+    * single `mapPartitionsWithIndex` pass emits running totals starting
+    * from each partition's offset. That is the honest mapPartitions
+    * use-case (genuinely sequential per-partition state); the
+    * declarative alternative — a running-sum window with no partition
+    * key — moves the whole corpus through one reducer.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val budget = 512L
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(tokens($"text"), t => t =!= "")).cast("long").as("n_tokens"))
+      .repartitionByRange($"doc_id")
+      .sortWithinPartitions($"doc_id")
+    val totals = base.select($"n_tokens").rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator(pid -> it.map(_.getLong(0)).sum))
+      .collect().toMap
+    val nParts = base.rdd.getNumPartitions
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("cum_tokens", LongType, nullable = false),
+      StructField("seq_id", LongType, nullable = false)))
+    val rows = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bOff.value(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        cum += n
+        Row(r.getLong(0), n, cum, (cum - n) / budget)
+      }
+    }
+    spark.createDataFrame(rows, schema).orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (packSequences _),
     "text_train_split" -> (trainSplit _),
     "text_balanced_sample" -> (balancedSample _),
     "text_ngram_freq" -> (ngramFreq _),
@@ -213,6 +263,18 @@ object TextOps extends QueryPack {
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
   override def oracle: Map[String, String] = Map(
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_train_split" ->
       """SELECT doc_id, lang,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
