@@ -186,34 +186,37 @@ object TextOps extends QueryPack {
     import spark.implicits._
     val cap = 30
     // constant score → the heap keeps the k smallest keys in UTF-8 order;
-    // doc_id zero-padded so string order == numeric order on the tiebreak
+    // doc_id zero-padded to the max long width (19 digits) so string order
+    // == numeric order on the tiebreak and the round-trip never truncates
     val key = concat(md5($"doc_id".cast("string")),
-      lpad($"doc_id".cast("string"), 12, "0"))
+      lpad($"doc_id".cast("string"), 19, "0"))
     val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(cap))
     Tables.documents(spark, dir)
       .groupBy($"lang")
       .agg(topk(lit(0.0), key).as("sel"))
       .select($"lang", posexplode($"sel"))
       .select($"lang", ($"pos" + 1).cast("int").as("rank"),
-        substring($"col.key", 33, 12).cast("bigint").as("doc_id"))
+        substring($"col.key", 33, 19).cast("bigint").as("doc_id"))
       .orderBy($"lang", $"rank")
   }
 
-  /** Sequence packing: assign documents (in stable doc_id order) to
-    * fixed-token-budget training sequences — the "pack the corpus into
-    * 512-token rows" step before tokenized training. A document's
-    * `seq_id` is the budget bucket its first token lands in (greedy,
-    * order-preserving, documents not split).
+  /** Sequence chunking, concatenate-then-cut style: lay the corpus's
+    * tokens out in stable doc_id order and cut a training row every 512
+    * tokens — `seq_id` is the training row containing each document's
+    * FIRST token. Documents may straddle row boundaries (exactly how LLM
+    * pipelines pack: concatenate, then split at the budget), so a row can
+    * carry the tail of the straddling document beyond the cut; seq_id
+    * answers "which row does this document start in".
     *
     * The cumulative token count is a DISTRIBUTED PREFIX SCAN — the one
-    * primitive Spark's declarative surface lacks: range-partition and
-    * sort by doc_id, one small job collects per-partition token totals
-    * (the prefix offsets, numPartitions longs to the driver), then a
-    * single `mapPartitionsWithIndex` pass emits running totals starting
-    * from each partition's offset. That is the honest mapPartitions
-    * use-case (genuinely sequential per-partition state); the
-    * declarative alternative — a running-sum window with no partition
-    * key — moves the whole corpus through one reducer.
+    * primitive Spark's declarative surface lacks. Both passes (partition
+    * totals, running emit) run over the SAME cached RDD: RangePartitioner
+    * seeds its boundary sampling with the rdd id, so two separately
+    * planned RDDs could range-partition differently at scale and the
+    * offsets would land on the wrong partitions. One shuffle, one small
+    * totals job, one `mapPartitionsWithIndex` emit — the declarative
+    * alternative (an unpartitioned running-sum window) moves the corpus
+    * through one reducer.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -225,19 +228,21 @@ object TextOps extends QueryPack {
         size(filter(tokens($"text"), t => t =!= "")).cast("long").as("n_tokens"))
       .repartitionByRange($"doc_id")
       .sortWithinPartitions($"doc_id")
-    val totals = base.select($"n_tokens").rdd
+      .rdd
+    base.cache()
+    val totals = base
       .mapPartitionsWithIndex((pid, it) =>
-        Iterator(pid -> it.map(_.getLong(0)).sum))
+        Iterator(pid -> it.map(_.getLong(1)).sum))
       .collect().toMap
-    val nParts = base.rdd.getNumPartitions
-    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsets = (0 until base.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
     val bOff = spark.sparkContext.broadcast(offsets)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
       StructField("cum_tokens", LongType, nullable = false),
       StructField("seq_id", LongType, nullable = false)))
-    val rows = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = base.mapPartitionsWithIndex { (pid, it) =>
       var cum = bOff.value(pid)
       it.map { r =>
         val n = r.getLong(1)
@@ -285,7 +290,7 @@ object TextOps extends QueryPack {
     "text_balanced_sample" ->
       """WITH k AS (
         |  SELECT lang, doc_id,
-        |    md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+        |    md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS key
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id,

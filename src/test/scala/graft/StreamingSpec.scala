@@ -61,9 +61,10 @@ class StreamingSpec extends SparkSpec {
         count($"g._2").as("skipped"))
       .writeStream.format("memory").queryName("t_spec_guard")
       .outputMode(OutputMode.Complete()).start()
-    mem.addData("1", "nope", "2"); q.processAllAvailable()
-    mem.addData("boom", "3"); q.processAllAvailable()
-    q.stop()
+    try {
+      mem.addData("1", "nope", "2"); q.processAllAvailable()
+      mem.addData("boom", "3"); q.processAllAvailable()
+    } finally q.stop()
     val r = spark.table("t_spec_guard").head()
     assert(r.getLong(0) == 3 && r.getLong(1) == 2,
       s"expected 3 ok / 2 skipped, got ${r.getLong(0)}/${r.getLong(1)}")
