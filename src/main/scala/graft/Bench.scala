@@ -73,12 +73,18 @@ object Bench {
     println(line)
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
     // parse in round 1 — also write the line to a file it can read directly
-    // (cwd and, when launched elsewhere, the known repo root).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line)
+    // (cwd and, when launched elsewhere, the known repo root). Both copies
+    // are convenience fallbacks: never fail the run over a read-only cwd
+    // after the measurements already printed.
+    def tryWrite(p: java.nio.file.Path): Unit =
+      try java.nio.file.Files.writeString(p, line)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] convenience copy $p skipped: ${e.getMessage}") }
+    tryWrite(java.nio.file.Paths.get("bench_result.json"))
     val repoRoot = java.nio.file.Paths.get("/root/repo")
     if (java.nio.file.Files.isDirectory(repoRoot) && !java.nio.file.Files.isSameFile(
         repoRoot, java.nio.file.Paths.get("").toAbsolutePath))
-      java.nio.file.Files.writeString(repoRoot.resolve("bench_result.json"), line)
+      tryWrite(repoRoot.resolve("bench_result.json"))
     spark.stop()
   }
 }

@@ -54,12 +54,19 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // second location: cwd-relative only resolves to the repo root when the
-    // JVM launched there — anchor on the known repo path too
-    Files.writeString(Paths.get("oracle_sql.json"), json)
+    // JVM launched there — anchor on the known repo path too. These copies
+    // are convenience fallbacks for the driver's lookup: a read-only cwd or
+    // foreign environment must not fail the run after the real outDir write
+    // above succeeded, so each is individually non-fatal.
+    def tryWrite(p: java.nio.file.Path): Unit =
+      try Files.writeString(p, json)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] convenience copy $p skipped: ${e.getMessage}") }
+    tryWrite(Paths.get("oracle_sql.json"))
     val repoRoot = Paths.get("/root/repo")
     if (Files.isDirectory(repoRoot) && !Files.isSameFile(
         repoRoot, Paths.get("").toAbsolutePath))
-      Files.writeString(repoRoot.resolve("oracle_sql.json"), json)
+      tryWrite(repoRoot.resolve("oracle_sql.json"))
     spark.stop()
   }
 }

@@ -151,7 +151,13 @@ object DedupOps extends QueryPack {
       .select($"d1", explode($"docs").as("d2"))
       .filter($"d1" < $"d2")
       .distinct()
-      .cache()
+      // eager localCheckpoint instead of CacheManager .cache(): the pair set
+      // is reused by several downstream subtrees in one job, but a
+      // CacheManager entry is pinned until an explicit unpersist — repeated
+      // invocations in a long session would accumulate storage. The
+      // checkpoint's backing blocks are released by the ContextCleaner as
+      // soon as the returned plan is unreferenced.
+      .localCheckpoint(true)
   }
 
   /** Exact Jaccard stats (common, n1, n2, jaccard) computed for the given
@@ -167,7 +173,9 @@ object DedupOps extends QueryPack {
     val shCand = shingledRaw(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct()
-      .cache()
+      // candidate-slice only; localCheckpoint over .cache() for the same
+      // ContextCleaner-managed lifetime as minhashCandidates above
+      .localCheckpoint(true)
     val sizes = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = broadcast(candidates)
       .join(shCand.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))

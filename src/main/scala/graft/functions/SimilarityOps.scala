@@ -274,6 +274,13 @@ object SimilarityOps extends QueryPack {
     * parameter (same shape as MLlib's treeAggregate loop). Means are
     * decimal-exact so centroids are bit-reproducible across partitionings.
     *
+    * This is SPHERICAL k-means: the refit averages L2-NORMALIZED vectors
+    * (the mean direction), which is the true maximizer of the cosine
+    * objective for arbitrary input norms — a raw arithmetic mean would
+    * weight each vector by its length and only coincide on unit-norm
+    * inputs. cosine_sim is scale-invariant in the centroid, so on
+    * unit-norm embeddings the two refits assign identically.
+    *
     * Returns (centroids, inertiaPerRound); inertia = Σ (1 - cos(v, cent(v))),
     * non-increasing over rounds — KMeansSpec asserts it.
     */
@@ -300,9 +307,11 @@ object SimilarityOps extends QueryPack {
       inertias += assigned.agg(
         sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
       val refit = assigned
-        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
+        .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
+        .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
-        .agg((sum($"x".cast("double").cast(DecimalType(28, 9))).cast("double") /
+        .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /
           count(lit(1))).as("m"))
         .groupBy($"cell")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),

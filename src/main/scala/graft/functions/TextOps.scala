@@ -229,6 +229,11 @@ object TextOps extends QueryPack {
       .repartitionByRange($"doc_id")
       .sortWithinPartitions($"doc_id")
       .rdd
+    // RDD-level persist (NOT a SQL CacheManager entry): both passes below
+    // share one materialization, and the blocks are released by the
+    // ContextCleaner once the returned DataFrame (whose lineage holds the
+    // only reference) is garbage-collected — no unbounded accumulation
+    // across repeated invocations.
     base.cache()
     val totals = base
       .mapPartitionsWithIndex((pid, it) =>

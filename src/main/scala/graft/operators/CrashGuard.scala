@@ -29,6 +29,14 @@ object CrashGuard {
     * `_2 IS NOT NULL` is the corrupt-record side channel (≙ the reference's
     * skipped-records counter). Counting on `_1` instead would lose
     * null-returning successes. See Relational.skipBadRecords.
+    *
+    * NULL INPUTS: Spark never invokes the UDF on a null input row — the
+    * whole struct is null, which the `_2 IS NULL` discriminator counts as a
+    * null-result SUCCESS, not a skip. That is the contract: a null input is
+    * not "user code crashed", it's absent data passing through (same as the
+    * reference, whose mapper was simply not called for records the reader
+    * never produced). Callers that must treat nulls as corrupt should
+    * filter/flag them BEFORE the guard, where the null is still visible.
     */
   def guarded[I: TypeTag, O: TypeTag](f: I => O): UserDefinedFunction =
     udf((i: I) => Try(f(i)) match {

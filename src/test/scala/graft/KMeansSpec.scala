@@ -49,4 +49,25 @@ class KMeansSpec extends SparkSpec {
         s"approx p50 ${r.getDouble(1)} too far from exact ${r.getDouble(2)}")
     }
   }
+
+  test("percentile sketch hash-gate premise: group sizes stay under exactness capacity at every gated SF") {
+    // agg_percentiles_sketch is in the HASH gate on the premise that
+    // percentile_approx at accuracy=1e6 degenerates to exact (rank error
+    // eps*n = n/accuracy < 1). That premise silently breaks once a
+    // l_returnflag group outgrows the capacity — guard it explicitly at
+    // every scale factor the gate runs on, with 2x headroom.
+    val accuracy = 1000000L
+    val gated = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/lineitem.parquet").exists())
+    assert(gated.nonEmpty, "no gated testdata dirs found")
+    gated.foreach { d =>
+      val maxGroup = graft.core.Tables.lineitem(spark, d)
+        .groupBy($"l_returnflag").count()
+        .agg(max($"count")).head().getLong(0)
+      assert(maxGroup * 2 <= accuracy,
+        s"$d: max l_returnflag group $maxGroup within 2x of sketch capacity $accuracy — " +
+          "raise the accuracy in Aggregates.percentilesSketch or demote the query to rows-only")
+    }
+  }
 }
