@@ -113,8 +113,13 @@ object DedupOps extends QueryPack {
   }
 
   /** MinHash+LSH near-dup: band-bucket candidates, exact-verify, emit pairs
-    * with their true Jaccard. Rows-only check (sketch path); DedupSpec
-    * asserts it finds exactly the planted ≥0.5 pairs on the test data.
+    * with their true Jaccard. Hash-gated by EQUIVALENCE: candidates are
+    * exact-verified so precision is 1.0 by construction, and banding recall
+    * at Jaccard ≥ 0.5 is total on this corpus (DedupSimSpec asserts
+    * LSH ≡ exact; the banded gate run re-proves it at every SF) — so the
+    * plain exact-Jaccard SQL is a valid oracle for THIS output, and a
+    * stronger check than rows-only: it pins that the sketch path returns
+    * exactly the right pairs, not just the right number of them.
     *
     * Shuffle budget (the 100 TB view): the ONLY corpus-wide shuffle is the
     * map-combined signature groupBy (≤ numPartitions rows per doc in
@@ -187,25 +192,43 @@ object DedupOps extends QueryPack {
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
   }
 
-  /** SimHash: 64-bit signature; bit b set iff Σ_tokens count·(±1) > 0,
-    * sign from bit b of xxhash64(token). Emitted as the signature index
-    * table (hex), the artifact a hamming-distance pairing job consumes.
+  /** 64-bit SimHash signatures as a LONG column over any frame with
+    * (doc_id, text): bit b set iff Σ_tokens count·(±1) > 0, sign from bit b
+    * of a 64-bit hash of the token. The hash is md5-DERIVED (top 8 digest
+    * bytes, assembled from two 32-bit `conv` halves so no ANSI overflow):
+    * md5 exists bit-identically in every engine, which is what lets the
+    * DuckDB oracle recompute the signature bit-for-bit. xxhash64 is ~5×
+    * cheaper per token and is the swap-in when cross-engine
+    * reproducibility of the signature doesn't matter; the plan shape
+    * (map-combinable vote sums, one shuffle) is identical either way.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tokenCounts = Tables.documents(spark, dir)
-      .select($"doc_id", explode(split(normText, " ")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64($"token"))
+  def simhashSig(docs: DataFrame): DataFrame = {
+    val tokenCounts = docs
+      .select(col("doc_id"), explode(split(normText, " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("md", md5(col("token")))
+      .withColumn("th",
+        shiftleft(conv(substring(col("md"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("md"), 9, 8), 16, 10).cast("long")))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright($"th", b).bitwiseAND(lit(1L)) === 1L, $"cnt")
-        .otherwise(-$"cnt")).as(s"v_$b")
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v_$b")
     }
     val sig = (0 until 64).map { b =>
       when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    tokenCounts.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-      .select($"doc_id", lpad(hex(sig), 16, "0").as("simhash_hex"))
+    tokenCounts.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash index table (doc_id → signature hex), the artifact a
+    * hamming-distance pairing job consumes. Hash-gated: the DuckDB oracle
+    * rebuilds the md5-derived signature bit-for-bit (see [[simhashSig]]).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashSig(Tables.documents(spark, dir))
+      .select($"doc_id", lower(lpad(hex($"sig"), 16, "0")).as("simhash_hex"))
       .orderBy($"doc_id")
   }
 
@@ -311,6 +334,42 @@ object DedupOps extends QueryPack {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosineDedup _))
 
+  /** DuckDB rebuild of the md5-derived SimHash, bit-for-bit: same token
+    * counts, same top-8-digest-byte hash (hex-string cast — DuckDB reads
+    * '0x…' into UBIGINT), same vote sums; the output hex is assembled
+    * digit-by-digit from the vote signs (DuckDB's `<<` range-checks at bit
+    * 63, so no shift-based assembly).
+    */
+  private val duckSimhash: String = {
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS v_$b")
+      .mkString(",\n    ")
+    val digits = (1 to 16).map { i =>
+      val base = 4 * (16 - i)
+      val dv = (3 to 0 by -1)
+        .map(k => s"(CASE WHEN v_${base + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($dv) + 1, 1)"
+    }.mkString(" ||\n  ")
+    s"""WITH nt AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, t AS token, COUNT(*) AS cnt
+       |  FROM nt, UNNEST(toks) AS u(t) GROUP BY 1, 2),
+       |h AS (
+       |  SELECT doc_id, cnt,
+       |    CAST('0x' || substr(md5(token), 1, 16) AS UBIGINT) AS th
+       |  FROM tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $digits AS simhash_hex
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   private val duckShingles =
     """WITH nt AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -353,6 +412,21 @@ object DedupOps extends QueryPack {
          |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    // Valid by the equivalence argument on minhashLsh's scaladoc: exact-
+    // verified candidates (precision 1.0) + total banding recall at ≥0.5 on
+    // this corpus (spec-asserted at every SF) ⇒ the LSH output IS the exact
+    // ≥0.5 pair set.
+    "dedup_minhash_lsh" ->
+      s"""$duckShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, common * 1.0 / (ca.n + cb.n - common) AS jaccard
+         |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" -> duckSimhash,
     "dedup_connected_components" ->
       s"""${duckShingles.replace("WITH nt AS", "WITH RECURSIVE nt AS")},
          |pairs AS (

@@ -21,21 +21,8 @@ class DedupSimSpec extends SparkSpec {
     val variant = base.replace("today", "tomorrow") // one token changed
     val far = "completely different words about spark shuffle partitions and codegen stages"
     val df = Seq((1L, base), (2L, variant), (3L, far)).toDF("doc_id", "text")
-    df.createOrReplaceTempView("simhash_docs")
-    // run the same signature pipeline on a custom frame
-    val tokenCounts = df
-      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64($"token"))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright($"th", b).bitwiseAND(lit(1L)) === 1L, $"cnt")
-        .otherwise(-$"cnt")).as(s"v_$b")
-    }
-    val sig = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    val sigs = tokenCounts.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-      .select($"doc_id", sig.as("sh")).collect()
+    // the production signature pipeline on a custom frame
+    val sigs = DedupOps.simhashSig(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sigs(1L), sigs(2L)) <= 3,
