@@ -141,7 +141,21 @@ object DedupOps extends QueryPack {
     * the ONLY corpus-wide shuffle on this path is the map-combined
     * signature groupBy inside [[minhashSignatures]].
     */
-  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    // eager localCheckpoint instead of CacheManager .cache(): the pair set
+    // is reused by several downstream subtrees in one job, but a
+    // CacheManager entry is pinned until an explicit unpersist — repeated
+    // invocations in a long session would accumulate storage. The
+    // checkpoint's backing blocks are released by the ContextCleaner as
+    // soon as the returned plan is unreferenced.
+    minhashCandidatesPlan(spark, dir).localCheckpoint(true)
+
+  /** The candidate-generation subtree WITHOUT the checkpoint boundary —
+    * [[minhashCandidates]] minus the `localCheckpoint`, exposed so plan
+    * dumps (DumpPlans) can show the signature/banding stages that the
+    * checkpoint otherwise collapses to `Scan ExistingRDD`.
+    */
+  private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = minhashSignatures(shingledRaw(spark, dir))
     val bandCols = (0 until NumHashes / BandRows).map { b =>
@@ -156,13 +170,6 @@ object DedupOps extends QueryPack {
       .select($"d1", explode($"docs").as("d2"))
       .filter($"d1" < $"d2")
       .distinct()
-      // eager localCheckpoint instead of CacheManager .cache(): the pair set
-      // is reused by several downstream subtrees in one job, but a
-      // CacheManager entry is pinned until an explicit unpersist — repeated
-      // invocations in a long session would accumulate storage. The
-      // checkpoint's backing blocks are released by the ContextCleaner as
-      // soon as the returned plan is unreferenced.
-      .localCheckpoint(true)
   }
 
   /** Exact Jaccard stats (common, n1, n2, jaccard) computed for the given
