@@ -200,6 +200,90 @@ object TextOps extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share 3-token
+    * shingles with an evaluation set (doc_id < 5 stands in for the held-out
+    * benchmark). The classic eval-leakage gate every pre-training pipeline
+    * runs before a data release.
+    *
+    * 100 TB shape: the eval side is SMALL by nature (benchmarks are finite)
+    * — its distinct n-grams broadcast, and the corpus-side RAW shingle
+    * stream meets them in a narrow broadcast hash join, so only the MATCHED
+    * slice is ever distinct'd/shuffled; the corpus itself is one scan with
+    * no wide exchange. If the eval-gram set ever outgrows the broadcast
+    * budget, route it through a bloom filter first (fmt_bloom_membership
+    * pattern) and exact-verify the hits — same plan, probabilistic prefilter.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    val toks = tokens(norm)
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val docs = Tables.documents(spark, dir)
+    val evalGrams = docs.filter($"doc_id" < 5)
+      .select(explode(shingles).as("shingle")).distinct()
+    val corpus = docs.filter($"doc_id" >= 5)
+    val overlaps = corpus
+      .select($"doc_id", explode(shingles).as("shingle"))
+      .join(broadcast(evalGrams), Seq("shingle"))
+      .distinct() // matched slice only — the full shingle stream never shuffles
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select($"doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", $"n_overlap" >= 3) // tunable strictness
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style repetition metrics per document: duplicate-word fraction,
+    * top-word fraction, duplicate-bigram fraction, and the keep/drop
+    * verdict. Entirely NARROW — duplicate fractions via `array_distinct`,
+    * and the top-word count via a run-length fold (`aggregate`) over the
+    * SORTED token array, all inside whole-stage codegen: zero shuffles at
+    * any corpus size (the declarative alternative — two-level groupBy on
+    * (doc, word) — shuffles every token; per-row arrays are bounded by
+    * document length, which is the right budget). The oracle IS that
+    * two-level groupBy form in DuckDB, holding the fold to the declarative
+    * semantics.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(tokens(lower($"text")), t => t =!= "")
+    val bigrams = filter(
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(2)))),
+      b => size(split(b, " ")) === 2)
+    // max run length over the sorted tokens == max per-word count
+    val topWordN = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+        topWordN.as("top_word_n"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - $"n_distinct_words".cast("double") / $"n_tokens", 6))
+      .withColumn("top_word_frac",
+        round($"top_word_n".cast("double") / $"n_tokens", 6))
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - $"n_distinct_bigrams".cast("double") /
+          greatest($"n_bigrams", lit(1L)), 6))
+      .withColumn("keep", $"top_word_frac" <= 0.2 && $"dup_bigram_frac" <= 0.5)
+      .orderBy($"doc_id")
+  }
+
   /** Sequence chunking, concatenate-then-cut style: lay the corpus's
     * tokens out in stable doc_id order and cut a training row every 512
     * tokens — `seq_id` is the training row containing each document's
@@ -259,6 +343,8 @@ object TextOps extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> (decontaminate _),
+    "text_repetition_stats" -> (repetitionStats _),
     "text_pack_sequences" -> (packSequences _),
     "text_train_split" -> (trainSplit _),
     "text_balanced_sample" -> (balancedSample _),
@@ -273,6 +359,55 @@ object TextOps extends QueryPack {
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
   override def oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH nt AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM nt, UNNEST(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS u(i)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+        |ov AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_overlap
+        |  FROM sh s JOIN ev USING (shingle) WHERE s.doc_id >= 5 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin,
+    "text_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM t, UNNEST(toks) AS u(tok) GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+        |    CAST(MAX(c) AS BIGINT) AS top_word_n
+        |  FROM w GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(toks) >= 2 AND i <= len(toks) - 1),
+        |bs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+        |  FROM b GROUP BY doc_id),
+        |j AS (
+        |  SELECT ws.doc_id, n_tokens, n_distinct_words,
+        |    COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+        |    COALESCE(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |    top_word_n
+        |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
+        |SELECT doc_id, n_tokens, n_distinct_words, n_bigrams, n_distinct_bigrams,
+        |  top_word_n,
+        |  ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+        |  ROUND(CAST(top_word_n AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+        |  ROUND(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / GREATEST(n_bigrams, 1), 6) AS dup_bigram_frac,
+        |  (ROUND(CAST(top_word_n AS DOUBLE) / n_tokens, 6) <= 0.2
+        |   AND ROUND(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / GREATEST(n_bigrams, 1), 6) <= 0.5) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens

@@ -89,4 +89,43 @@ class OpsExtrasSpec extends SparkSpec {
       assert(back.filter($"o_totalprice" <= 150000.0).count() == 0, "demux must be clean")
     } finally o.unpersist()
   }
+
+  test("repetition stats: narrow run-length fold equals the declarative groupBy max") {
+    // the fold over the sorted token array is held to two-level-groupBy
+    // semantics INSIDE Spark too, not just by the DuckDB oracle
+    val stats = graft.functions.TextOps.repetitionStats(spark, sfDir)
+      .select($"doc_id", $"top_word_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.size == declarative.size)
+    declarative.foreach { case (id, m) =>
+      assert(stats(id) == m, s"doc $id: fold=${stats(id)} declarative=$m")
+    }
+  }
+
+  test("decontamination overlap counts match a driver-side set intersection") {
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalGrams = docs.filter(_._1 < 5).values.flatMap(shingles).toSet
+    val got = graft.functions.TextOps.decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.forall(_._1 >= 5), "eval docs must not appear in the report")
+    got.take(50).foreach { case (id, n, flag) =>
+      val expect = (shingles(docs(id)) & evalGrams).size
+      assert(n == expect, s"doc $id: n_overlap=$n expected=$expect")
+      assert(flag == (n >= 3))
+    }
+  }
 }
+
