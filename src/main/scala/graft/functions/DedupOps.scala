@@ -332,7 +332,29 @@ object DedupOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** The end of the dedup pipeline: ONE representative per near-dup
+    * cluster, chosen by a keep policy (longest, ties → min doc_id — same
+    * policy as [[exactDedupKeepLongest]] but over [[connectedComponents]]
+    * clusters instead of exact-hash groups). This is the op that actually
+    * shrinks the corpus; everything upstream only discovers structure.
+    * The argmax is a partial-aggregable `max_by` — one winner per
+    * (cluster, partition) in the shuffle, never a per-cluster sort.
+    */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    connectedComponents(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(max_by(struct($"doc_id", $"n_chars"),
+          struct($"n_chars", (-$"doc_id").as("nd"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select($"cluster_id", $"b.doc_id".as("kept_doc_id"),
+        $"b.n_chars".as("n_chars"), $"cluster_size")
+      .orderBy($"cluster_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_keep_best" -> (clusterKeepBest _),
     "dedup_connected_components" -> (connectedComponents _),
     "dedup_exact" -> (exactDedup _),
     "dedup_exact_keep_longest" -> (exactDedupKeepLongest _),
@@ -376,6 +398,27 @@ object DedupOps extends QueryPack {
        |  $digits AS simhash_hex
        |FROM v ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared recursive-CTE prefix: shingles → ≥0.5-Jaccard edges →
+    * reachability (`r(node, reach)`), the fixpoint both cluster oracles
+    * aggregate over.
+    */
+  private lazy val duckCCReach: String =
+    s"""${duckShingles.replace("WITH nt AS", "WITH RECURSIVE nt AS")},
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT d1, d2 FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |      UNION ALL SELECT d2, d1 FROM jp),
+       |r AS (
+       |  SELECT doc_id AS node, doc_id AS reach FROM documents
+       |  UNION
+       |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)""".stripMargin
 
   private val duckShingles =
     """WITH nt AS (
@@ -435,24 +478,24 @@ object DedupOps extends QueryPack {
          |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" -> duckSimhash,
     "dedup_connected_components" ->
-      s"""${duckShingles.replace("WITH nt AS", "WITH RECURSIVE nt AS")},
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jp AS (
-         |  SELECT d1, d2 FROM pairs
-         |  JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-         |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
-         |e AS (SELECT d1 AS src, d2 AS dst FROM jp
-         |      UNION ALL SELECT d2, d1 FROM jp),
-         |r AS (
-         |  SELECT doc_id AS node, doc_id AS reach FROM documents
-         |  UNION
-         |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)
+      s"""$duckCCReach
          |SELECT node AS doc_id, MIN(reach) AS cluster_id,
          |  (node = MIN(reach)) AS is_canonical
          |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_keep_best" ->
+      s"""$duckCCReach,
+         |m AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+         |j AS (
+         |  SELECT m.cluster_id, m.doc_id, d.n_chars
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id),
+         |rk AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS kept_doc_id, n_chars, cluster_size
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH p AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2

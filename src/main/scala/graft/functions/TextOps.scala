@@ -200,6 +200,40 @@ object TextOps extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** Domain reweighting (source-mix resampling): draw a half-corpus budget
+    * split equally across `source` domains, each domain capped at its
+    * availability — the deterministic skeleton of DoReMi-style mix tuning,
+    * where the weights come from a model instead of uniform. Selection
+    * within a domain is by md5 order (deterministic, content-unbiased,
+    * engine-stable), like [[balancedSample]] but with DATA-DEPENDENT
+    * quotas: per-source counts come back to the driver first (tiny model
+    * state, one row per domain — the kmeansCentroids pattern), then one
+    * bounded-heap pass selects. Map-side heaps keep ≤ max-quota rows per
+    * (source, partition); the corpus itself never wide-shuffles.
+    */
+  def sourceMixResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val budget = counts.map(_._2).sum / 2
+    val base = budget / counts.size
+    val quotas = counts.map { case (s, n) => (s, math.min(n, base)) }
+    val capMax = quotas.map(_._2).max.toInt
+    val key = concat(md5($"doc_id".cast("string")),
+      lpad($"doc_id".cast("string"), 19, "0"))
+    val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(capMax))
+    docs.groupBy($"source")
+      .agg(topk(lit(0.0), key).as("sel"))
+      .select($"source", posexplode($"sel"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        substring($"col.key", 33, 19).cast("bigint").as("doc_id"))
+      .join(broadcast(quotas.toSeq.toDF("source", "quota")), Seq("source"))
+      .filter($"rank" <= $"quota")
+      .select($"source", $"rank".cast("int").as("rank"), $"doc_id")
+      .orderBy($"source", $"rank")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share 3-token
     * shingles with an evaluation set (doc_id < 5 stands in for the held-out
     * benchmark). The classic eval-leakage gate every pre-training pipeline
@@ -345,6 +379,7 @@ object TextOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate" -> (decontaminate _),
     "text_repetition_stats" -> (repetitionStats _),
+    "text_source_mix_resample" -> (sourceMixResample _),
     "text_pack_sequences" -> (packSequences _),
     "text_train_split" -> (trainSplit _),
     "text_balanced_sample" -> (balancedSample _),
@@ -374,6 +409,22 @@ object TextOps extends QueryPack {
         |  COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id >= 5 ORDER BY doc_id""".stripMargin,
+    "text_source_mix_resample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |p AS (SELECT (SELECT SUM(n) FROM c) // 2 AS b,
+        |             (SELECT COUNT(*) FROM c) AS ns),
+        |q AS (SELECT source, LEAST(n, (SELECT b // ns FROM p)) AS quota FROM c),
+        |k AS (
+        |  SELECT source, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key) AS rank
+        |  FROM k)
+        |SELECT r.source AS source, CAST(rank AS INT) AS rank, doc_id
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE rank <= quota ORDER BY r.source, rank""".stripMargin,
     "text_repetition_stats" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

@@ -127,5 +127,36 @@ class OpsExtrasSpec extends SparkSpec {
       assert(flag == (n >= 3))
     }
   }
-}
 
+  test("source-mix resample: per-source output equals min(availability, equal-share quota)") {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy($"source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = counts.values.sum / 2 / counts.size
+    val got = graft.functions.TextOps.sourceMixResample(spark, sfDir)
+      .groupBy($"source").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (s, n) =>
+      assert(got.getOrElse(s, 0L) == math.min(n, base),
+        s"source $s: got ${got.getOrElse(s, 0L)}, want min($n, $base)")
+    }
+  }
+
+  test("cluster keep-best: every kept doc belongs to its cluster and maximizes the policy") {
+    val clusters = graft.functions.DedupOps.connectedComponents(spark, sfDir)
+      .select($"doc_id", $"cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val kept = graft.functions.DedupOps.clusterKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.length == byCluster.size, "one representative per cluster")
+    kept.foreach { case (cid, keptId, nChars, size) =>
+      val members = byCluster(cid)
+      assert(members.contains(keptId) && size == members.size && nChars == chars(keptId))
+      val best = members.toSeq.map(m => (chars(m), -m)).max
+      assert((chars(keptId), -keptId) == best, s"cluster $cid kept $keptId, best was $best")
+    }
+  }
+}
