@@ -125,8 +125,9 @@ object SimilarityOps extends QueryPack {
     * ANY (table, bucket) — the OR-of-ANDs construction that trades a
     * constant factor of duplication for recall. All-pairs O(n²) becomes
     * O(Σ bucket²) with one shuffle on (table, bucket).
-    * Rows-only check (sketch-specific); SimilaritySpec asserts recall vs
-    * the brute-force baseline on the test data.
+    * Hash-gated since round 2: the seeded hyperplanes are inlined as
+    * constants into the DuckDB oracle, which replays the bucketing exactly;
+    * DedupSimSpec additionally asserts recall vs the brute-force baseline.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -224,8 +225,9 @@ object SimilarityOps extends QueryPack {
     *
     * Centroids here are the first `IvfCells` vectors (deterministic; a
     * production build would k-means them — the plan shape is identical).
-    * Rows-only check (sketch path); DedupSimSpec asserts recall vs the
-    * brute-force `sim_cosine_topk` baseline.
+    * Hash-gated since round 2 (first-K centroids are deterministic, so the
+    * DuckDB oracle replays the probe plan); DedupSimSpec asserts recall vs
+    * the brute-force `sim_cosine_topk` baseline.
     */
   /** IVF probe plan shared by the first-K and k-means centroid variants.
     * Corpus-side argmaxes (cell assignment, final search) are

@@ -24,6 +24,61 @@ object TextOps extends QueryPack {
 
   private def tokens(c: Column): Column = split(c, "\\s+")
 
+  /** Whitespace-collapsed lowercase text — the normalization every
+    * fingerprint/shingle op shares (same as DedupOps). */
+  private def normTextC: Column =
+    regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+
+  /** Distinct-able 3-token shingles of the normalized text (array form). */
+  private def normShingles: Column = {
+    val toks = tokens(normTextC)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
+  /** Non-empty lowercase tokens. */
+  private def cleanToks: Column = filter(tokens(lower(col("text"))), t => t =!= "")
+
+  /** Word bigrams of a token array (only full-width ones). */
+  private def bigramsOf(toks: Column): Column = filter(
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2)))),
+    b => size(split(b, " ")) === 2)
+
+  /** Max per-word count as a run-length fold over the SORTED token array —
+    * narrow and codegen'd, no (doc, word) shuffle. */
+  private def topRunOf(toks: Column): Column = aggregate(
+    array_sort(toks),
+    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+    (acc, x) => {
+      val newRun = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+        .otherwise(lit(1L))
+      struct(x.as("prev"), newRun.as("run"),
+        greatest(acc.getField("best"), newRun).as("best"))
+    },
+    acc => acc.getField("best"))
+
+  /** The [[qualityScore]] keep verdict as a single boolean column. */
+  private def qualityKeepC: Column = {
+    val toks = filter(tokens(col("text")), t => t =!= "")
+    val nTokens = size(toks)
+    val meanLen = (col("n_chars") - (nTokens - lit(1))).cast("double") / nTokens
+    val stopRatio = size(filter(toks, t => t.isin(stopEn: _*))).cast("double") / nTokens
+    (nTokens >= 10) && (stopRatio >= 0.01) && (meanLen <= 12.0)
+  }
+
+  /** The [[repetitionStats]] keep verdict as a single boolean column. */
+  private def repetitionKeepC: Column = {
+    val toks = cleanToks
+    val big = bigramsOf(toks)
+    val topFrac = round(topRunOf(toks).cast("double") / size(toks), 6)
+    val dupBigramFrac = round(lit(1.0) - size(array_distinct(big)).cast("double") /
+      greatest(size(big).cast("long"), lit(1L)), 6)
+    topFrac <= 0.2 && dupBigramFrac <= 0.5
+  }
+
   /** WordCount: the canonical pipeline. */
   def wordCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -247,26 +302,52 @@ object TextOps extends QueryPack {
     * budget, route it through a bloom filter first (fmt_bloom_membership
     * pattern) and exact-verify the hits — same plan, probabilistic prefilter.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-corpus-doc count of distinct 3-gram overlaps with the eval set —
+    * the shared core of [[decontaminate]] and [[corpusSelect]]. */
+  private def evalOverlaps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
-    val toks = tokens(norm)
-    val shingles = transform(
-      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
     val docs = Tables.documents(spark, dir)
     val evalGrams = docs.filter($"doc_id" < 5)
-      .select(explode(shingles).as("shingle")).distinct()
-    val corpus = docs.filter($"doc_id" >= 5)
-    val overlaps = corpus
-      .select($"doc_id", explode(shingles).as("shingle"))
+      .select(explode(normShingles).as("shingle")).distinct()
+    docs.filter($"doc_id" >= 5)
+      .select($"doc_id", explode(normShingles).as("shingle"))
       .join(broadcast(evalGrams), Seq("shingle"))
       .distinct() // matched slice only — the full shingle stream never shuffles
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-    corpus.select($"doc_id")
-      .join(overlaps, Seq("doc_id"), "left")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter($"doc_id" >= 5).select($"doc_id")
+      .join(evalOverlaps(spark, dir), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("contaminated", $"n_overlap" >= 3) // tunable strictness
+      .orderBy($"doc_id")
+  }
+
+  /** THE end-to-end pipeline query: the keep/drop verdict that materializes
+    * a training corpus — quality × repetition × decontamination × exact
+    * dedup (canonical-copy-only), composed the way a release pipeline runs
+    * them. Fused into ONE corpus scan for the three narrow verdicts plus a
+    * sha-window for the dedup verdict (1 shuffle) and the broadcast-join
+    * overlap count (matched slice only) — not four separate passes; at
+    * 100 TB the scan is the dominant cost and it happens once.
+    */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"content_sha")
+    Tables.documents(spark, dir).filter($"doc_id" >= 5)
+      .withColumn("pass_quality", qualityKeepC)
+      .withColumn("pass_repetition", repetitionKeepC)
+      .withColumn("content_sha", sha2(normTextC, 256))
+      .withColumn("pass_dedup", $"doc_id" === min($"doc_id").over(w))
+      .join(evalOverlaps(spark, dir), Seq("doc_id"), "left")
+      .withColumn("pass_decontamination", coalesce($"n_overlap", lit(0L)) < 3)
+      .withColumn("keep", $"pass_quality" && $"pass_repetition" &&
+        $"pass_decontamination" && $"pass_dedup")
+      .select($"doc_id", $"pass_quality", $"pass_repetition",
+        $"pass_decontamination", $"pass_dedup", $"keep")
       .orderBy($"doc_id")
   }
 
@@ -283,30 +364,16 @@ object TextOps extends QueryPack {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(tokens(lower($"text")), t => t =!= "")
-    val bigrams = filter(
-      transform(
-        sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(2)))),
-      b => size(split(b, " ")) === 2)
-    // max run length over the sorted tokens == max per-word count
-    val topWordN = aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val newRun = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
-          .otherwise(lit(1L))
-        struct(x.as("prev"), newRun.as("run"),
-          greatest(acc.getField("best"), newRun).as("best"))
-      },
-      acc => acc.getField("best"))
+    val toks = cleanToks
+    val bigrams = bigramsOf(toks)
     Tables.documents(spark, dir)
       .select($"doc_id",
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_words"),
         size(bigrams).cast("long").as("n_bigrams"),
         size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
-        topWordN.as("top_word_n"))
+        // max run length over the sorted tokens == max per-word count
+        topRunOf(toks).as("top_word_n"))
       .withColumn("dup_word_frac",
         round(lit(1.0) - $"n_distinct_words".cast("double") / $"n_tokens", 6))
       .withColumn("top_word_frac",
@@ -377,6 +444,7 @@ object TextOps extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_select" -> (corpusSelect _),
     "text_decontaminate" -> (decontaminate _),
     "text_repetition_stats" -> (repetitionStats _),
     "text_source_mix_resample" -> (sourceMixResample _),
@@ -394,6 +462,67 @@ object TextOps extends QueryPack {
   private val duckToks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
   override def oracle: Map[String, String] = Map(
+    "text_corpus_select" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+         |  FROM nt, UNNEST(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS u(i)),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+         |ov AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_overlap
+         |  FROM sh s JOIN ev USING (shingle) WHERE s.doc_id >= 5 GROUP BY 1),
+         |tl AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id >= 5),
+         |w AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM tl, UNNEST(toks) AS u(tok) GROUP BY 1, 2),
+         |ws AS (
+         |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_word_n
+         |  FROM w GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+         |  FROM tl, UNNEST(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS u(i)
+         |  WHERE len(toks) >= 2 AND i <= len(toks) - 1),
+         |bs AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    COUNT(DISTINCT bigram) AS n_distinct_bigrams
+         |  FROM bg GROUP BY doc_id),
+         |rep AS (
+         |  SELECT ws.doc_id,
+         |    (ROUND(CAST(top_word_n AS DOUBLE) / n_tokens, 6) <= 0.2
+         |     AND ROUND(1.0 - CAST(COALESCE(bs.n_distinct_bigrams, 0) AS DOUBLE)
+         |               / GREATEST(COALESCE(bs.n_bigrams, 0), 1), 6) <= 0.5) AS pass_repetition
+         |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id),
+         |qt AS (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter($duckToks,
+         |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS INT) AS n_stopwords,
+         |    n_chars
+         |  FROM documents WHERE doc_id >= 5),
+         |qual AS (
+         |  SELECT doc_id,
+         |    (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.01
+         |     AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0) AS pass_quality
+         |  FROM qt),
+         |dd AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha
+         |  FROM documents WHERE doc_id >= 5),
+         |ded AS (
+         |  SELECT doc_id,
+         |    doc_id = MIN(doc_id) OVER (PARTITION BY content_sha) AS pass_dedup
+         |  FROM dd)
+         |SELECT qual.doc_id, pass_quality, pass_repetition,
+         |  COALESCE(ov.n_overlap, 0) < 3 AS pass_decontamination, pass_dedup,
+         |  (pass_quality AND pass_repetition AND COALESCE(ov.n_overlap, 0) < 3
+         |   AND pass_dedup) AS keep
+         |FROM qual JOIN rep USING (doc_id) JOIN ded USING (doc_id)
+         |LEFT JOIN ov ON ov.doc_id = qual.doc_id
+         |ORDER BY qual.doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH nt AS (
         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
