@@ -210,6 +210,40 @@ object TextOps extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** TF-IDF top-3 terms per document — the classic salience score a corpus
+    * pipeline uses for keyword extraction / topic features. Two hash
+    * aggregations (term frequency per doc, document frequency per term) and
+    * one vocabulary-sized join; the corpus-wide doc count rides in as a
+    * broadcast single row. Per-doc top-3 goes through the bounded-heap
+    * [[TopKStrAgg]] — map-side heaps of ≤3 entries, never a full
+    * (doc, vocab) window sort. Scores are rounded to 6dp BEFORE ranking so
+    * Spark and the oracle rank identical values (ln differs in the last ulp
+    * across engines; two mathematically-equal scores computed as tf·ln(N/df)
+    * with different factors could otherwise order differently).
+    *
+    * At 100 TB: tf is the only corpus-sized shuffle (map-combined); df is
+    * vocabulary-sized; the tf⋈df join shuffles on term with AQE free to
+    * broadcast df when it fits.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select($"doc_id", explode(cleanToks).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct($"doc_id").as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+    val topk = udaf(new TopKStrAgg(3))
+    scored.groupBy($"doc_id")
+      .agg(topk($"tfidf", $"term").as("top"))
+      .select($"doc_id", posexplode($"top"))
+      .select($"doc_id", ($"pos" + 1).cast("int").as("rank"),
+        $"col.key".as("term"), $"col.score".as("tfidf"))
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** Deterministic train/val/test split — the assignment a training
     * pipeline must hold stable across runs, engines, and cluster sizes so
     * a document never migrates between splits (eval leakage). Bucket =
@@ -452,6 +486,7 @@ object TextOps extends QueryPack {
     "text_train_split" -> (trainSplit _),
     "text_balanced_sample" -> (balancedSample _),
     "text_ngram_freq" -> (ngramFreq _),
+    "text_tfidf" -> (tfidf _),
     "text_wordcount" -> (wordCount _),
     "text_grep" -> (grep _),
     "text_token_count" -> (tokenCount _),
@@ -632,6 +667,22 @@ object TextOps extends QueryPack {
         |      FROM c)
         |SELECT lang, CAST(rank AS INT) AS rank, bigram, n
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term,
+        |        ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_wordcount" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT UNNEST(string_split_regex(text, '\s+')) AS word FROM documents)
