@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.Joins,
     graft.operators.Windows,
     graft.operators.Events,
+    graft.operators.Skew,
     graft.sources.Formats,
     graft.functions.TextOps,
     graft.functions.DedupOps,

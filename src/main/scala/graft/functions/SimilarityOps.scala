@@ -342,6 +342,46 @@ object SimilarityOps extends QueryPack {
     ivfSearch(e, km.toDF("cent_id", "cent"))
   }
 
+  /** Symmetric per-vector int8 quantization — the compression step an
+    * embedding store applies before indexing (4× smaller than float32,
+    * SIMD-friendly dot products). scale = max|x|/127 per vector;
+    * q_i = clamp(round(x_i/scale), ±127). Output is the quantization
+    * audit a pipeline materializes: the scale, two integer checksums of
+    * the quantized vector, and the cosine between the original and its
+    * dequantization (scale-invariant, so computed against the raw int8
+    * codes) — the per-vector fidelity number that decides whether int8 is
+    * safe for a given corpus.
+    *
+    * Scale shape: purely narrow — one codegen scan, no shuffle, no join;
+    * higher-order `transform`/`aggregate` over the array stay inside
+    * whole-stage codegen. At 100 TB this is the ideal map-only operator.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("emb", transform($"embedding", _.cast("double")))
+      .withColumn("scale",
+        aggregate($"emb", lit(0.0), (s, x) => greatest(s, abs(x))) / 127.0)
+      .withColumn("q", transform($"emb", x =>
+        when($"scale" === 0.0, lit(0.0))
+          .otherwise(least(greatest(round(x / $"scale", 0), lit(-127.0)), lit(127.0)))
+          .cast("long")))
+      .withColumn("qd", transform($"q", _.cast("double")))
+    // explicit Σ folds (left-to-right over the array) on BOTH sides — the
+    // oracle mirrors with list_dot_product so the 6dp rounding is the only
+    // tolerance in play
+    e.select(
+        $"vec_id",
+        round($"scale", 9).as("scale"),
+        aggregate($"q", lit(0L), (s, x) => s + x).as("q_sum"),
+        aggregate($"q", lit(0L), (s, x) => s + abs(x)).as("q_l1"),
+        round(
+          aggregate(zip_with($"emb", $"qd", (a, b) => a * b), lit(0.0), (s, v) => s + v) /
+            (sqrt(aggregate($"emb", lit(0.0), (s, v) => s + v * v)) *
+             sqrt(aggregate($"qd", lit(0.0), (s, v) => s + v * v))), 6).as("cos_q"))
+      .orderBy($"vec_id")
+  }
+
   /** Per-label embedding centroids, element-wise — the class-centroid
     * builder behind IVF coarse quantizers and nearest-centroid classifiers.
     * posexplode → groupBy(label, pos) shuffles (dim × n_labels) partial
@@ -368,7 +408,8 @@ object SimilarityOps extends QueryPack {
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_kmeans" -> (annIvfKmeans _),
     "sim_pairs_threshold" -> (pairsAboveThreshold _),
-    "sim_nearest_same_label" -> (nearestSameLabel _))
+    "sim_nearest_same_label" -> (nearestSameLabel _),
+    "sim_quantize_int8" -> (quantizeInt8 _))
 
   /** The 16 ann planes as a DuckDB VALUES list — the oracle replays the
     * exact bucketing. Safe because bucket signs have slack: min |dot| over
@@ -458,6 +499,23 @@ object SimilarityOps extends QueryPack {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY v1, v2""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, emb, scale,
+        |    list_transform(emb, x -> CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE least(greatest(round(x / scale), -127), 127) END AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, ROUND(scale, 9) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  ROUND(list_dot_product(emb, CAST(qv AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(emb, emb)) *
+        |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos_q
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_nearest_same_label" ->
       """WITH s AS (
         |  SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,

@@ -159,7 +159,37 @@ object Events extends QueryPack {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Ordered funnel: view → click → purchase per user, each step's
+    * timestamp the EARLIEST occurrence at-or-after the previous step —
+    * the conversion query every product pipeline runs. Computed as chained
+    * conditional aggregations (step N's per-user min joins into step N+1's
+    * filter), NOT a per-user sorted window over the whole event log: every
+    * shuffle is keyed on user_id, each step's table is ≤1 row per user and
+    * shrinks monotonically down the funnel, so at 100 TB the heavy scan
+    * happens once per step with map-side min-combines and the joins are
+    * per-user-row sized.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (lit(1) + when($"t_click".isNotNull, 1).otherwise(0)
+          + when($"t_purchase".isNotNull, 1).otherwise(0)).cast("int").as("steps_completed"))
+      .orderBy($"user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_funnel" -> (funnel _),
     "evt_retention" -> (retention _),
     "evt_gapfill" -> (gapfill _),
     "evt_props_map" -> (propsMap _),
@@ -171,6 +201,26 @@ object Events extends QueryPack {
     "evt_attribution" -> (attribution _))
 
   override def oracle: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS steps_completed
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "evt_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
         |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,

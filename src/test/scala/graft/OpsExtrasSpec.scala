@@ -159,4 +159,38 @@ class OpsExtrasSpec extends SparkSpec {
       assert((chars(keptId), -keptId) == best, s"cluster $cid kept $keptId, best was $best")
     }
   }
+
+  test("int8 quantization: checksums bounded, reconstruction cosine near 1") {
+    val rows = graft.functions.SimilarityOps.quantizeInt8(spark, sfDir).collect()
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (scale, qSum, qL1, cosQ) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(scale > 0.0)
+      // 64 dims, each |q_i| <= 127
+      assert(math.abs(qSum) <= qL1 && qL1 <= 127L * 64)
+      // at least one element quantizes to ±127 (the max element defines scale)
+      assert(qL1 >= 127)
+      // int8 on 64-dim unit-ish vectors loses well under 0.1% of cosine
+      assert(cosQ > 0.999, s"vec ${r.getLong(0)}: cos_q $cosQ")
+    }
+  }
+
+  test("funnel: step timestamps are ordered and steps_completed is consistent") {
+    val rows = graft.operators.Events.funnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tView = r.getTimestamp(1)
+      val tClick = Option(r.getTimestamp(2))
+      val tPurch = Option(r.getTimestamp(3))
+      val steps = r.getInt(4)
+      assert(tView != null)
+      tClick.foreach(t => assert(!t.before(tView)))
+      tPurch.foreach { t =>
+        assert(tClick.isDefined, "purchase step requires click step")
+        assert(!t.before(tClick.get))
+      }
+      assert(steps == 1 + tClick.size + tPurch.size)
+    }
+  }
 }
