@@ -149,4 +149,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"expression fell out of codegen:\n$plan")
     assert(df.filter($"self" < 0.999999).count() == 0) // self-similarity == 1
   }
+
+  test("int8 quantization is map-only: no shuffle below the output sort") {
+    // the only Exchange allowed is the presentation orderBy's range
+    // partitioning (it exists for the oracle hash); the operator itself
+    // must be a single narrow scan — no hash-partitioned shuffle at all
+    val plan = planOf(graft.functions.SimilarityOps.quantizeInt8(spark, sfDir))
+    assert(plan.contains("rangepartitioning"), s"missing presentation sort:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"quantization hash-shuffled:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregation:\n$plan")
+  }
+
+  test("funnel has no window operator: per-step min-aggregations only") {
+    val plan = planOf(graft.operators.Events.funnel(spark, sfDir))
+    assert(!plan.contains("Window"), s"funnel fell back to a window sort:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
