@@ -244,6 +244,50 @@ object TextOps extends QueryPack {
       .orderBy($"doc_id", $"rank")
   }
 
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** The count-min bucket family: row r hashes `term` to column
+    * md5("r:term")[0:8] mod width. md5-derived like [[DedupOps.simhashSig]]
+    * so the DuckDB oracle replays every cell bit-for-bit.
+    */
+  private def cmBuckets(term: Column): Column =
+    array((0 until CmDepth).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), term)), 1, 8), 16, 10)
+          .cast("long") % CmWidth).as("c"))
+    }: _*)
+
+  /** Count-min sketch frequency estimation — the sublinear-memory
+    * heavy-hitter primitive a 100 TB token-frequency pass uses when the
+    * vocabulary doesn't fit (the exact groupBy here is web-scale n-grams
+    * there). Depth×width = 4×256 counters; est(term) = min over rows of
+    * its cell, always ≥ the true count (cells only ever overcount).
+    *
+    * Scale shape: the sketch build shuffles ≤ depth·width = 1024 cells no
+    * matter the corpus size (map-combined groupBy on (r,c)); the probe
+    * side broadcasts those 1024 cells into the vocabulary scan. The exact
+    * count rides along as the audit column — the query IS the
+    * sketch-vs-truth comparison a pipeline runs before trusting est.
+    * OpsExtrasSpec asserts the never-undercount invariant.
+    */
+  def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir).select(explode(cleanToks).as("term"))
+    val cells = toks
+      .select(explode(cmBuckets($"term")).as("rc"))
+      .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy($"term").agg(count(lit(1)).as("exact"))
+    exact
+      .select($"term", $"exact", explode(cmBuckets($"term")).as("rc"))
+      .select($"term", $"exact", $"rc.r".as("r"), $"rc.c".as("c"))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy($"term", $"exact")
+      .agg(min($"cnt").as("est"))
+      .orderBy($"term")
+  }
+
   /** Deterministic train/val/test split — the assignment a training
     * pipeline must hold stable across runs, engines, and cluster sizes so
     * a document never migrates between splits (eval leakage). Bucket =
@@ -487,6 +531,7 @@ object TextOps extends QueryPack {
     "text_balanced_sample" -> (balancedSample _),
     "text_ngram_freq" -> (ngramFreq _),
     "text_tfidf" -> (tfidf _),
+    "text_countmin" -> (countMinFreq _),
     "text_wordcount" -> (wordCount _),
     "text_grep" -> (grep _),
     "text_token_count" -> (tokenCount _),
@@ -667,6 +712,26 @@ object TextOps extends QueryPack {
         |      FROM c)
         |SELECT lang, CAST(rank AS INT) AS rank, bigram, n
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "text_countmin" ->
+      """WITH tk AS (
+        |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |rc AS (
+        |  SELECT term, r,
+        |    CAST('0x' || substr(md5(concat(CAST(r AS VARCHAR), ':', term)), 1, 8)
+        |      AS BIGINT) % 256 AS c
+        |  FROM tk, UNNEST(range(0, 4)) AS u(r)),
+        |cells AS (SELECT r, c, COUNT(*) AS cnt FROM rc GROUP BY r, c),
+        |exact AS (SELECT term, COUNT(*) AS exact FROM tk GROUP BY term),
+        |probe AS (
+        |  SELECT e.term, e.exact, r,
+        |    CAST('0x' || substr(md5(concat(CAST(r AS VARCHAR), ':', e.term)), 1, 8)
+        |      AS BIGINT) % 256 AS c
+        |  FROM exact e, UNNEST(range(0, 4)) AS u(r))
+        |SELECT p.term, p.exact, MIN(cells.cnt) AS est
+        |FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+        |GROUP BY p.term, p.exact ORDER BY p.term""".stripMargin,
     "text_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),

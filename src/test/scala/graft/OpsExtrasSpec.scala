@@ -176,6 +176,19 @@ class OpsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch never undercounts, and total mass is conserved") {
+    val rows = graft.functions.TextOps.countMinFreq(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"count-min undercounted '$term': est $est < exact $exact")
+    }
+    // the sketch is 4x256 over a tiny vocabulary — most terms should be
+    // collision-free (est == exact), not all inflated
+    val exactHits = rows.count { case (_, e, s) => e == s }
+    assert(exactHits * 2 > rows.length, s"only $exactHits/${rows.length} collision-free")
+  }
+
   test("funnel: step timestamps are ordered and steps_completed is consistent") {
     val rows = graft.operators.Events.funnel(spark, sfDir).collect()
     assert(rows.nonEmpty)
