@@ -356,9 +356,14 @@ object SimilarityOps extends QueryPack {
     * higher-order `transform`/`aggregate` over the array stay inside
     * whole-stage codegen. At 100 TB this is the ideal map-only operator.
     */
-  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetric-int8 frame shared by [[quantizeInt8]] and
+    * [[topkInt8Rescore]]: the input plus `emb` (double[]), `scale`
+    * (max|x|/127) and `q` (clamped round(x/scale) as long[]). Narrow —
+    * adds no shuffle to whatever consumes it.
+    */
+  private def int8Frame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .withColumn("emb", transform($"embedding", _.cast("double")))
       .withColumn("scale",
         aggregate($"emb", lit(0.0), (s, x) => greatest(s, abs(x))) / 127.0)
@@ -366,6 +371,11 @@ object SimilarityOps extends QueryPack {
         when($"scale" === 0.0, lit(0.0))
           .otherwise(least(greatest(round(x / $"scale", 0), lit(-127.0)), lit(127.0)))
           .cast("long")))
+  }
+
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = int8Frame(spark, dir)
       .withColumn("qd", transform($"q", _.cast("double")))
     // explicit Σ folds (left-to-right over the array) on BOTH sides — the
     // oracle mirrors with list_dot_product so the 6dp rounding is the only
@@ -380,6 +390,55 @@ object SimilarityOps extends QueryPack {
             (sqrt(aggregate($"emb", lit(0.0), (s, v) => s + v * v)) *
              sqrt(aggregate($"qd", lit(0.0), (s, v) => s + v * v))), 6).as("cos_q"))
       .orderBy($"vec_id")
+  }
+
+  val RescoreCandidates = 10
+
+  /** Two-stage retrieval: int8-quantized scan then full-precision rescore —
+    * the standard memory-bandwidth play (a 100 TB float32 corpus is 25 TB
+    * as int8; the first pass streams a quarter of the bytes and the exact
+    * kernel only ever sees `RescoreCandidates` rows per query). Stage 1
+    * scores every candidate with the all-integer dot product (exact in
+    * int64, scaled by the two per-vector scales) and keeps top-10 per query
+    * via the bounded heap; stage 2 re-scores ONLY those pairs with float
+    * cosine and emits top-3.
+    *
+    * The DuckDB oracle replays both stages — including the int8 codes and
+    * the estimated-score ranking — so the gate checks the retrieval
+    * mechanics, not merely that rescoring rescues the right answer.
+    */
+  def topkInt8Rescore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val f = int8Frame(spark, dir)
+    val qs = f.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"q".as("q_q"), $"scale".as("q_scale"))
+    val est = f.select($"vec_id".as("c_id"), $"q".as("c_q"), $"scale".as("c_scale"))
+      .join(broadcast(qs), $"c_id" =!= $"q_id")
+      // int64 dot of the codes is exact; the double product with the two
+      // scales is the same left-associated expression the oracle computes
+      .withColumn("est",
+        aggregate(zip_with($"q_q", $"c_q", (a, b) => a * b), lit(0L), (s, v) => s + v)
+          .cast("double") * $"q_scale" * $"c_scale")
+    val top10 = udaf(new graft.functions.TopKAgg(RescoreCandidates))
+    val cand = est.groupBy($"q_id")
+      .agg(top10($"est", $"c_id").as("top"))
+      .select($"q_id", explode($"top").as("s"))
+      .select($"q_id", $"s.key".as("c_id"))
+    // full-precision rescore of the <= 5×10 survivors: candidates broadcast
+    // into one corpus scan, queries broadcast in after
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    Tables.embeddings(spark, dir).select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+      .join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(Tables.embeddings(spark, dir).filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_emb, c_emb)"))
+      .groupBy($"q_id")
+      .agg(topk($"cos", $"c_id").as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rank"),
+        $"col.key".as("c_id"), round($"col.score", 6).as("cos"))
+      .orderBy($"q_id", $"rank")
   }
 
   /** Per-label embedding centroids, element-wise — the class-centroid
@@ -409,7 +468,8 @@ object SimilarityOps extends QueryPack {
     "sim_ann_ivf_kmeans" -> (annIvfKmeans _),
     "sim_pairs_threshold" -> (pairsAboveThreshold _),
     "sim_nearest_same_label" -> (nearestSameLabel _),
-    "sim_quantize_int8" -> (quantizeInt8 _))
+    "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_topk_int8_rescore" -> (topkInt8Rescore _))
 
   /** The 16 ann planes as a DuckDB VALUES list — the oracle replays the
     * exact bucketing. Safe because bucket signs have slack: min |dot| over
@@ -516,6 +576,37 @@ object SimilarityOps extends QueryPack {
         |    (sqrt(list_dot_product(emb, emb)) *
         |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos_q
         |FROM q ORDER BY vec_id""".stripMargin,
+    "sim_topk_int8_rescore" ->
+      s"""WITH s8 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, emb, scale,
+         |    list_transform(emb, x -> CAST(CASE WHEN scale = 0 THEN 0
+         |      ELSE least(greatest(round(x / scale), -127), 127) END AS BIGINT)) AS qv
+         |  FROM s8),
+         |est AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+         |      * a.scale * b.scale AS est
+         |  FROM q8 a JOIN q8 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est DESC, c_id) AS rn
+         |    FROM est) WHERE rn <= $RescoreCandidates),
+         |r AS (
+         |  SELECT cand.q_id, cand.c_id,
+         |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+         |                           CAST(e2.embedding AS DOUBLE[])) AS cos
+         |  FROM cand JOIN embeddings e1 ON e1.vec_id = cand.q_id
+         |            JOIN embeddings e2 ON e2.vec_id = cand.c_id),
+         |t AS (SELECT q_id, c_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |      FROM r)
+         |SELECT q_id, CAST(rn AS INT) AS rank, c_id, ROUND(cos, 6) AS cos
+         |FROM t WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     "sim_nearest_same_label" ->
       """WITH s AS (
         |  SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,

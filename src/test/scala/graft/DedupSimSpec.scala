@@ -16,6 +16,20 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("int8-rescore retrieval recovers the exact float top-3") {
+    // int8 keeps >= 0.999 of cosine (OpsExtrasSpec), so the true top-3
+    // must survive the top-10 estimated cut and the float rescore must
+    // restore the exact ranking on the deterministic test embeddings
+    val exact = SimilarityOps.cosineTopK(spark, sfDir)
+      .select($"q_id", $"rank", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rescored = SimilarityOps.topkInt8Rescore(spark, sfDir)
+      .select($"q_id", $"rank", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rescored == exact,
+      s"missing=${exact -- rescored} spurious=${rescored -- exact}")
+  }
+
   test("SimHash: near-identical docs land within hamming distance 3") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val variant = base.replace("today", "tomorrow") // one token changed
