@@ -126,6 +126,68 @@ object EventStreams {
   private def toOut(user: Long, s: SessionState): SessionOut =
     SessionOut(user, tsOf(s.start), tsOf(s.last + GapUs), s.n, s.sumCents / 100.0)
 
+  case class FEv(user_id: Long, ts: Timestamp, event_type: String)
+  /** Funnel progress per user, step timestamps in epoch-μs (set-once,
+    * monotone: a step only ever fills in, never changes). */
+  case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long])
+  case class FunnelOut(user_id: Long, t_view: Timestamp,
+      t_click: Option[Timestamp], t_purchase: Option[Timestamp],
+      steps_completed: Int)
+
+  private val FunnelRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+  /** The [[graft.operators.Events.funnel]] conversion query as a stateful
+    * stream: one tiny set-once state record per user, updated by a fold
+    * over (ts, step)-sorted events — step N's slot fills with the first
+    * event at-or-after step N-1's slot, which on sorted input is exactly
+    * the chained-conditional-min semantics of the batch query (ties at the
+    * same timestamp resolve view→click→purchase, matching the batch >=).
+    * Emits the user's funnel row whenever it changes (Append mode, no
+    * timeout: funnel state is 3 longs per user — bounded by the user
+    * population, not the event rate).
+    *
+    * Cross-batch ordering: a step event is only recognized after its
+    * predecessor step's slot is set, so delivery must not run a LATER
+    * step's qualifying event in an EARLIER micro-batch than its
+    * predecessor. The file source replays in-order here; out-of-order
+    * deployments buffer behind a watermark first (the standard funnel
+    * trade-off). In batch mode the single invocation sees all events
+    * sorted — identical output to the relational funnel, which is how the
+    * gate (same oracle) and StreamingSpec hold the two faces together.
+    */
+  def funnelStateful(events: Dataset[FEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FEv], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(None, None, None))
+          var s = prev
+          rows.toSeq
+            .filter(e => FunnelRank.contains(e.event_type))
+            .sortBy(e => (usOf(e.ts), FunnelRank(e.event_type)))
+            .foreach { e =>
+              val t = usOf(e.ts)
+              e.event_type match {
+                case "view" if s.v.isEmpty                    => s = s.copy(v = Some(t))
+                case "click" if s.v.isDefined && s.c.isEmpty  => s = s.copy(c = Some(t))
+                case "purchase" if s.c.isDefined && s.p.isEmpty => s = s.copy(p = Some(t))
+                case _ => // step already reached, or predecessor not yet
+              }
+            }
+          if (s == prev && streaming) Iterator.empty // no progress: emit nothing
+          else {
+            state.update(s)
+            s.v match {
+              case Some(tv) => Iterator.single(FunnelOut(user, tsOf(tv),
+                s.c.map(tsOf), s.p.map(tsOf), 1 + s.c.size + s.p.size))
+              case None => Iterator.empty // no view yet: user not in funnel
+            }
+          }
+      }
+  }
+
   /** Stream-stream interval join (attribution): each purchase joined to
     * every view by the same user in the preceding 30 minutes. Watermarks on
     * BOTH sides plus the time-bound join condition let Spark expire join

@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("flatMapGroupsWithState funnel (streaming) == batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.FEv]
+    val out = EventStreams.funnelStateful(mem.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("t_spec_funnel")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // in-order delivery (the documented funnel assumption): ts-sorted chunks
+    val evs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_type").orderBy($"ts", $"event_id")
+      .as[EventStreams.FEv].collect()
+    evs.grouped((evs.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // funnel state is monotone and only emits on change, so each user's
+    // final row is their max-steps emission
+    val got = spark.table("t_spec_funnel")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"t_view", $"t_click", $"t_purchase", $"steps_completed"),
+        $"steps_completed").as("b"))
+      .select($"user_id", $"b.t_view", $"b.t_click", $"b.t_purchase", $"b.steps_completed")
+      .orderBy($"user_id").collect().map(_.toString)
+    val want = graft.streaming.StreamQueries.funnelFmgws(spark, sfDir)
+      .orderBy($"user_id").collect().map(_.toString)
+    assert(got.sameElements(want))
+    // and the state machine's batch face must equal the relational funnel
+    val relational = graft.operators.Events.funnel(spark, sfDir)
+      .collect().map(_.toString)
+    assert(want.sameElements(relational))
+  }
+
   test("checkpointed file sink is exactly-once across restarts") {
     val out = "/tmp/graft_stream/sink"
     val cp = "/tmp/graft_stream/cp"
