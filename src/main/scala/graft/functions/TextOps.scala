@@ -288,6 +288,43 @@ object TextOps extends QueryPack {
       .orderBy($"term")
   }
 
+  /** Statistical LM quality score — the CCNet-style perplexity filter, here
+    * with an add-1-smoothed bigram model trained on the corpus itself (the
+    * in-domain self-scoring pass that flags outlier documents). Per doc:
+    * mean over its bigrams of ln((c(w1 w2)+1) / (c(w1)+V)).
+    *
+    * Scale shape: the model is two vocabulary-sized map-combined
+    * aggregations (bigram and unigram counts) — the corpus shuffles only
+    * token keys, never documents; scoring joins the doc's bigram stream to
+    * the model on those keys (AQE broadcasts the model when it fits, the
+    * usual case — a 1M-type vocabulary is MBs). The per-doc mean goes
+    * through decimal so the sum is order-independent: engines' ln differs
+    * in the last ulp, which decimal(28,12) quantization absorbs long
+    * before the 6dp output.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val docBigrams = docs.select($"doc_id", explode(bigramsOf(cleanToks)).as("bigram"))
+    val bg = docBigrams.groupBy($"bigram").agg(count(lit(1)).as("c2"))
+    val unigrams = docs.select(explode(cleanToks).as("w1"))
+    val uni = unigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = unigrams.agg(countDistinct($"w1").as("v"))
+    docBigrams
+      .join(bg, "bigram")
+      .withColumn("w1", split($"bigram", " ")(0))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(($"c2" + 1).cast("double") / ($"c1" + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum($"logp".cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("alp"))
+      .select($"doc_id", $"n_bigrams", round($"alp", 6).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic train/val/test split — the assignment a training
     * pipeline must hold stable across runs, engines, and cluster sizes so
     * a document never migrates between splits (eval leakage). Bucket =
@@ -532,6 +569,7 @@ object TextOps extends QueryPack {
     "text_ngram_freq" -> (ngramFreq _),
     "text_tfidf" -> (tfidf _),
     "text_countmin" -> (countMinFreq _),
+    "text_bigram_lm_score" -> (bigramLmScore _),
     "text_wordcount" -> (wordCount _),
     "text_grep" -> (grep _),
     "text_token_count" -> (tokenCount _),
@@ -712,6 +750,28 @@ object TextOps extends QueryPack {
         |      FROM c)
         |SELECT lang, CAST(rank AS INT) AS rank, bigram, n
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "text_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 1) + 1)) AS u(i)
+        |  WHERE len(toks) >= 2 AND i <= len(toks) - 1),
+        |bg AS (SELECT bigram, COUNT(*) AS c2 FROM b GROUP BY bigram),
+        |u1 AS (
+        |  SELECT UNNEST(toks) AS w1 FROM t),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM u1 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w1) AS v FROM u1),
+        |s AS (
+        |  SELECT b.doc_id,
+        |    ln(CAST(bg.c2 + 1 AS DOUBLE) / (uni.c1 + v.v)) AS logp
+        |  FROM b JOIN bg USING (bigram)
+        |         JOIN uni ON uni.w1 = string_split(b.bigram, ' ')[1]
+        |         CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_countmin" ->
       """WITH tk AS (
         |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),

@@ -189,6 +189,19 @@ class OpsExtrasSpec extends SparkSpec {
     assert(exactHits * 2 > rows.length, s"only $exactHits/${rows.length} collision-free")
   }
 
+  test("bigram LM score: every multi-token doc scored, log-probs negative") {
+    val docs = Tables.documents(spark, sfDir)
+    val multiTok = docs.filter(size(split(trim(lower($"text")), "\\s+")) >= 2).count()
+    val rows = graft.functions.TextOps.bigramLmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == multiTok, s"${rows.length} scored, $multiTok multi-token docs")
+    rows.foreach { case (id, nBigrams, alp) =>
+      assert(nBigrams >= 1)
+      // smoothed probabilities are < 1 strictly, so mean ln is negative
+      assert(alp < 0.0, s"doc $id: avg_logp $alp")
+    }
+  }
+
   test("funnel: step timestamps are ordered and steps_completed is consistent") {
     val rows = graft.operators.Events.funnel(spark, sfDir).collect()
     assert(rows.nonEmpty)
