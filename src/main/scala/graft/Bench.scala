@@ -64,7 +64,11 @@ object Bench {
     // under different machine load), so more passes = tighter min.
     headline.foreach(run)
 
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // malformed or non-positive values fall back to 3 — a crash here would
+    // discard the already-run warmup, and 0 passes would silently report
+    // the -1 failure sentinel for every query
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val results = headline.map { n =>
       val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -81,18 +81,34 @@ case class Scored(score: Double, key: Long)
   * pattern (SURVEY §2.6), generalized per key and map-combined.
   * Ordering: score desc, then key asc (deterministic ties).
   */
+/** Bounded-top-k buffer; the element count rides along because
+  * `List.length` is O(n) and the insert path must stay O(1).
+  */
+case class TopKBuf[S](n: Int, items: List[S])
+
 abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
-    extends Aggregator[S, List[S], Seq[S]] {
+    extends Aggregator[S, TopKBuf[S], Seq[S]] {
+  // Amortized O(1) insert for ANY k (sourceMixResample instantiates this
+  // with corpus-scale quotas, not just k=3): prepend until the buffer
+  // holds 2k candidates, then one O(k log k) sort-trim pays for the k
+  // preceding prepends. Trimming on EVERY insert would re-sort the whole
+  // buffer per row — fine at k=3, quadratic at quota scale. The partial
+  // shipped at shuffle time may carry up to 2k-1 candidates instead of k;
+  // that 2× is the price of constant-time inserts.
   private def trim(l: List[S]): List[S] = l.sorted(ord).take(k)
-  override def zero: List[S] = Nil
-  override def reduce(b: List[S], v: S): List[S] = trim(v :: b)
-  override def merge(a: List[S], b: List[S]): List[S] = trim(a ::: b)
-  override def finish(l: List[S]): Seq[S] = l.sorted(ord)
+  override def zero: TopKBuf[S] = TopKBuf(0, Nil)
+  override def reduce(b: TopKBuf[S], v: S): TopKBuf[S] =
+    if (b.n + 1 >= 2 * k) { val t = trim(v :: b.items); TopKBuf(t.length, t) }
+    else TopKBuf(b.n + 1, v :: b.items)
+  override def merge(a: TopKBuf[S], b: TopKBuf[S]): TopKBuf[S] =
+    if (a.n + b.n >= 2 * k) { val t = trim(a.items ::: b.items); TopKBuf(t.length, t) }
+    else TopKBuf(a.n + b.n, a.items ::: b.items)
+  override def finish(l: TopKBuf[S]): Seq[S] = trim(l.items)
 }
 
 class TopKAgg(k: Int) extends BoundedTopK[Scored](k,
     Ordering.by((s: Scored) => (-s.score, s.key))) {
-  override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
+  override def bufferEncoder: Encoder[TopKBuf[Scored]] = Encoders.kryo[TopKBuf[Scored]]
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
@@ -125,7 +141,7 @@ object ScoredStr {
 class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
     Ordering.by((s: ScoredStr) => (-s.score, s.key))(
       Ordering.Tuple2(Ordering.Double.TotalOrdering, ScoredStr.utf8Ordering))) {
-  override def bufferEncoder: Encoder[List[ScoredStr]] = Encoders.kryo[List[ScoredStr]]
+  override def bufferEncoder: Encoder[TopKBuf[ScoredStr]] = Encoders.kryo[TopKBuf[ScoredStr]]
   override def outputEncoder: Encoder[Seq[ScoredStr]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
 }

@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends QueryPack {
 
-  private def normText: Column = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+  /** THE normalization under every content identity in the library —
+    * shared (package-visible) so TextOps' fingerprints and corpus-select
+    * dedup verdict cannot drift from the dedup pack's definition.
+    */
+  private[functions] def normText: Column =
+    regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+
+  /** Content identity: sha-256 of [[normText]] — exact-dedup key. */
+  private[functions] def contentSha: Column = sha2(normText, 256)
 
   /** doc_id → 3-token shingles (exploded, WITH duplicates — narrow, no
     * shuffle). Callers that need set semantics apply `.distinct()` on the
@@ -50,7 +58,7 @@ object DedupOps extends QueryPack {
     import spark.implicits._
     val w = Window.partitionBy($"content_sha")
     Tables.documents(spark, dir)
-      .select($"doc_id", sha2(normText, 256).as("content_sha"))
+      .select($"doc_id", contentSha.as("content_sha"))
       .withColumn("canonical_id", min($"doc_id").over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .select($"doc_id", $"content_sha", $"canonical_id", $"n_copies")

@@ -385,10 +385,13 @@ object SimilarityOps extends QueryPack {
         round($"scale", 9).as("scale"),
         aggregate($"q", lit(0L), (s, x) => s + x).as("q_sum"),
         aggregate($"q", lit(0L), (s, x) => s + abs(x)).as("q_l1"),
-        round(
+        // explicit NULL for the zero vector: cos(0,0) is undefined, and the
+        // engines' implicit behaviors diverge (Spark SQL div-by-zero → null,
+        // DuckDB IEEE → NaN) — both sides CASE it to NULL instead
+        when($"scale" === 0.0, lit(null).cast("double")).otherwise(round(
           aggregate(zip_with($"emb", $"qd", (a, b) => a * b), lit(0.0), (s, v) => s + v) /
             (sqrt(aggregate($"emb", lit(0.0), (s, v) => s + v * v)) *
-             sqrt(aggregate($"qd", lit(0.0), (s, v) => s + v * v))), 6).as("cos_q"))
+             sqrt(aggregate($"qd", lit(0.0), (s, v) => s + v * v))), 6)).as("cos_q"))
       .orderBy($"vec_id")
   }
 
@@ -572,9 +575,11 @@ object SimilarityOps extends QueryPack {
         |SELECT vec_id, ROUND(scale, 9) AS scale,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
-        |  ROUND(list_dot_product(emb, CAST(qv AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(emb, emb)) *
-        |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos_q
+        |  CASE WHEN scale = 0 THEN NULL ELSE
+        |    ROUND(list_dot_product(emb, CAST(qv AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(emb, emb)) *
+        |       sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6)
+        |  END AS cos_q
         |FROM q ORDER BY vec_id""".stripMargin,
     "sim_topk_int8_rescore" ->
       s"""WITH s8 AS (

@@ -26,8 +26,7 @@ object TextOps extends QueryPack {
 
   /** Whitespace-collapsed lowercase text — the normalization every
     * fingerprint/shingle op shares (same as DedupOps). */
-  private def normTextC: Column =
-    regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+  private def normTextC: Column = DedupOps.normText
 
   /** Distinct-able 3-token shingles of the normalized text (array form). */
   private def normShingles: Column = {
@@ -352,21 +351,29 @@ object TextOps extends QueryPack {
     * would shuffle every document. The oracle is the window form, holding
     * the heap to the declarative semantics.
     */
+  /** md5-order selection key (md5(doc_id) ‖ zero-padded doc_id): with a
+    * constant score the heap keeps the k smallest keys in UTF-8 order;
+    * doc_id zero-padded to the max long width (19 digits) so string order
+    * == numeric order on the tiebreak and the round-trip never truncates.
+    * [[selKeyDocId]] is the inverse; the 32+19 layout lives only here.
+    */
+  private def selKeyC: Column = concat(md5(col("doc_id").cast("string")),
+    lpad(col("doc_id").cast("string"), 19, "0"))
+
+  /** Recover doc_id from a [[selKeyC]] value. */
+  private def selKeyDocId(key: Column): Column =
+    substring(key, 33, 19).cast("bigint")
+
   def balancedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cap = 30
-    // constant score → the heap keeps the k smallest keys in UTF-8 order;
-    // doc_id zero-padded to the max long width (19 digits) so string order
-    // == numeric order on the tiebreak and the round-trip never truncates
-    val key = concat(md5($"doc_id".cast("string")),
-      lpad($"doc_id".cast("string"), 19, "0"))
     val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(cap))
     Tables.documents(spark, dir)
       .groupBy($"lang")
-      .agg(topk(lit(0.0), key).as("sel"))
+      .agg(topk(lit(0.0), selKeyC).as("sel"))
       .select($"lang", posexplode($"sel"))
       .select($"lang", ($"pos" + 1).cast("int").as("rank"),
-        substring($"col.key", 33, 19).cast("bigint").as("doc_id"))
+        selKeyDocId($"col.key").as("doc_id"))
       .orderBy($"lang", $"rank")
   }
 
@@ -378,8 +385,9 @@ object TextOps extends QueryPack {
     * engine-stable), like [[balancedSample]] but with DATA-DEPENDENT
     * quotas: per-source counts come back to the driver first (tiny model
     * state, one row per domain — the kmeansCentroids pattern), then one
-    * bounded-heap pass selects. Map-side heaps keep ≤ max-quota rows per
-    * (source, partition); the corpus itself never wide-shuffles.
+    * bounded-heap pass selects. Map-side heaps keep ≤ 2×max-quota rows per
+    * (source, partition) with O(1) amortized inserts (see BoundedTopK);
+    * the corpus itself never wide-shuffles.
     */
   def sourceMixResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -390,14 +398,12 @@ object TextOps extends QueryPack {
     val base = budget / counts.size
     val quotas = counts.map { case (s, n) => (s, math.min(n, base)) }
     val capMax = quotas.map(_._2).max.toInt
-    val key = concat(md5($"doc_id".cast("string")),
-      lpad($"doc_id".cast("string"), 19, "0"))
     val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(capMax))
     docs.groupBy($"source")
-      .agg(topk(lit(0.0), key).as("sel"))
+      .agg(topk(lit(0.0), selKeyC).as("sel"))
       .select($"source", posexplode($"sel"))
       .select($"source", ($"pos" + 1).cast("long").as("rank"),
-        substring($"col.key", 33, 19).cast("bigint").as("doc_id"))
+        selKeyDocId($"col.key").as("doc_id"))
       .join(broadcast(quotas.toSeq.toDF("source", "quota")), Seq("source"))
       .filter($"rank" <= $"quota")
       .select($"source", $"rank".cast("int").as("rank"), $"doc_id")
@@ -453,9 +459,12 @@ object TextOps extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"content_sha")
     Tables.documents(spark, dir).filter($"doc_id" >= 5)
+      // empty docs carry no quality/repetition verdicts (0/0 fractions) and
+      // the oracle's inner join to the repetition CTE drops them — mirror it
+      .filter(size(cleanToks) >= 1)
       .withColumn("pass_quality", qualityKeepC)
       .withColumn("pass_repetition", repetitionKeepC)
-      .withColumn("content_sha", sha2(normTextC, 256))
+      .withColumn("content_sha", DedupOps.contentSha)
       .withColumn("pass_dedup", $"doc_id" === min($"doc_id").over(w))
       .join(evalOverlaps(spark, dir), Seq("doc_id"), "left")
       .withColumn("pass_decontamination", coalesce($"n_overlap", lit(0L)) < 3)
@@ -482,6 +491,9 @@ object TextOps extends QueryPack {
     val toks = cleanToks
     val bigrams = bigramsOf(toks)
     Tables.documents(spark, dir)
+      // zero-token docs have no repetition fractions (0/0) and no rows in
+      // the oracle's token-stream CTEs — drop them on BOTH sides
+      .filter(size(toks) >= 1)
       .select($"doc_id",
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_words"),

@@ -58,26 +58,9 @@ object StreamQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
-    "stream_funnel_fmgws" ->
-      """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_click
-        |  FROM events e JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
-        |  GROUP BY e.user_id),
-        |p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
-        |  GROUP BY e.user_id)
-        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
-        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS steps_completed
-        |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |       LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin,
+    // LITERALLY the relational funnel's oracle — one definition, two gated
+    // faces (state machine here, chained aggregations in Events)
+    "stream_funnel_fmgws" -> graft.operators.Events.oracle("evt_funnel"),
     "stream_sessionize_fmgws" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

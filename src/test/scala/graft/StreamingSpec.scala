@@ -131,9 +131,13 @@ class StreamingSpec extends SparkSpec {
     val q = out.toDF().writeStream.format("memory").queryName("t_spec_funnel")
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0)).start()
-    // in-order delivery (the documented funnel assumption): ts-sorted chunks
+    // in-order delivery (the documented funnel assumption): ts-sorted chunks,
+    // same-ts ties in funnel-step order so a chunk boundary cannot deliver a
+    // click/purchase in an earlier micro-batch than its same-instant view
     val evs = Tables.events(spark, sfDir)
-      .select($"user_id", $"ts", $"event_type").orderBy($"ts", $"event_id")
+      .select($"user_id", $"ts", $"event_type")
+      .orderBy($"ts", when($"event_type" === "view", 0)
+        .when($"event_type" === "click", 1).otherwise(2))
       .as[EventStreams.FEv].collect()
     evs.grouped((evs.length + 3) / 4).foreach { chunk =>
       mem.addData(chunk.toSeq); q.processAllAvailable()
