@@ -247,6 +247,39 @@ object DedupOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  val SimhashBands = 4
+  val SimhashMaxHamming = 3
+
+  /** SimHash near-dup PAIRING — the consumer of the [[simhash]] index
+    * table: all pairs within hamming distance ≤ 3 of the 64-bit signature.
+    * Banded by pigeonhole: split the signature into 4 bands of 16 bits;
+    * any pair differing in ≤ 3 bits must agree EXACTLY on at least one
+    * band, so band-equality buckets have recall 1 by theorem (not by
+    * tuning) and the all-pairs O(n²) popcount becomes O(Σ bucket²) with
+    * one shuffle on (band, value) — the same construction the reference's
+    * dedup pipelines used over MapReduce sort buckets. Candidates carry
+    * two longs; the distinct never touches text.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = simhashSig(Tables.documents(spark, dir))
+    val banded = sigs.select($"doc_id", $"sig",
+        explode(array((0 until SimhashBands).map { t =>
+          struct(lit(t).as("band"),
+            shiftright($"sig", 16 * t).bitwiseAND(lit(0xFFFFL)).as("bv"))
+        }: _*)).as("tb"))
+      .select($"doc_id", $"sig", $"tb.band", $"tb.bv")
+    banded.select($"band", $"bv", $"doc_id".as("d1"), $"sig".as("s1"))
+      .join(banded.select($"band", $"bv", $"doc_id".as("d2"), $"sig".as("s2")),
+        Seq("band", "bv"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2", $"s1", $"s2").distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter($"hamming" <= SimhashMaxHamming)
+      .select($"d1", $"d2", $"hamming".cast("int").as("hamming"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** Embedding-cosine near-dup: canonical id = min vec_id among neighbors
     * with cosine ≥ 0.9 (self included — cos(v,v)=1). Exact all-pairs form
     * is the oracle-checked baseline; with `graft.sim.exact=false` the SAME
@@ -369,6 +402,7 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_embedding_cosine" -> (embeddingCosineDedup _))
 
   /** DuckDB rebuild of the md5-derived SimHash, bit-for-bit: same token
@@ -377,17 +411,13 @@ object DedupOps extends QueryPack {
     * digit-by-digit from the vote signs (DuckDB's `<<` range-checks at bit
     * 63, so no shift-based assembly).
     */
-  private val duckSimhash: String = {
+  /** Shared CTE prefix rebuilding the 64 per-bit vote sums (`v_0..v_63`)
+    * of the md5-derived SimHash — consumed by both the index oracle
+    * (hex digits) and the pairing oracle (bands + hamming). */
+  private val duckSimhashVotes: String = {
     val votes = (0 until 64).map(b =>
       s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS v_$b")
       .mkString(",\n    ")
-    val digits = (1 to 16).map { i =>
-      val base = 4 * (16 - i)
-      val dv = (3 to 0 by -1)
-        .map(k => s"(CASE WHEN v_${base + k} > 0 THEN ${1 << k} ELSE 0 END)")
-        .mkString(" + ")
-      s"substr('0123456789abcdef', ($dv) + 1, 1)"
-    }.mkString(" ||\n  ")
     s"""WITH nt AS (
        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
        |  FROM documents),
@@ -401,10 +431,50 @@ object DedupOps extends QueryPack {
        |v AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM h GROUP BY doc_id)
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private val duckSimhash: String = {
+    val digits = (1 to 16).map { i =>
+      val base = 4 * (16 - i)
+      val dv = (3 to 0 by -1)
+        .map(k => s"(CASE WHEN v_${base + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($dv) + 1, 1)"
+    }.mkString(" ||\n  ")
+    s"""$duckSimhashVotes
        |SELECT doc_id,
        |  $digits AS simhash_hex
        |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Banded hamming pairing replayed from the votes: same 4×16-bit bands,
+    * same pigeonhole candidates, hamming as the sum of band popcounts. */
+  private val duckSimhashPairs: String = {
+    def bandExpr(t: Int): String = (0 until 16)
+      .map(k => s"(CASE WHEN v_${16 * t + k} > 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ")
+    val bandCols = (0 until SimhashBands).map(t => s"(${bandExpr(t)}) AS b$t").mkString(",\n    ")
+    val unioned = (0 until SimhashBands)
+      .map(t => s"SELECT doc_id, $t AS t, b$t AS bv FROM b")
+      .mkString("\n  UNION ALL ")
+    val hamming = (0 until SimhashBands)
+      .map(t => s"bit_count(xor(x.b$t, y.b$t))").mkString(" + ")
+    s"""$duckSimhashVotes,
+       |b AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM v),
+       |e AS (
+       |  $unioned),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+       |  FROM e a JOIN e c ON a.t = c.t AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |SELECT d1, d2, hamming FROM (
+       |  SELECT d1, d2, CAST($hamming AS INT) AS hamming
+       |  FROM cand JOIN b x ON x.doc_id = cand.d1
+       |            JOIN b y ON y.doc_id = cand.d2)
+       |WHERE hamming <= $SimhashMaxHamming ORDER BY d1, d2""".stripMargin
   }
 
   /** Shared recursive-CTE prefix: shingles → ≥0.5-Jaccard edges →
@@ -485,6 +555,7 @@ object DedupOps extends QueryPack {
          |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" -> duckSimhash,
+    "dedup_simhash_pairs" -> duckSimhashPairs,
     "dedup_connected_components" ->
       s"""$duckCCReach
          |SELECT node AS doc_id, MIN(reach) AS cluster_id,

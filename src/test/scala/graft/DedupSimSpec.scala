@@ -30,6 +30,18 @@ class DedupSimSpec extends SparkSpec {
       s"missing=${exact -- rescored} spurious=${rescored -- exact}")
   }
 
+  test("SimHash banded pairing equals brute-force hamming (pigeonhole recall 1)") {
+    val sigs = DedupOps.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16))
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= DedupOps.SimhashMaxHamming
+    } yield (d1, d2, h)).toSet
+    val banded = DedupOps.simhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"missing=${brute -- banded} spurious=${banded -- brute}")
+  }
+
   test("SimHash: near-identical docs land within hamming distance 3") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val variant = base.replace("today", "tomorrow") // one token changed
