@@ -124,9 +124,13 @@ object TextOps extends QueryPack {
         size(toks).as("n_tokens"),
         size(filter(toks, t => t.isin(stopEn: _*))).as("n_stopwords"),
         size(filter(toks, t => length(t) > 8)).as("n_long_tokens"))
-      .withColumn("mean_token_len",
-        ($"n_chars" - ($"n_tokens" - lit(1))).cast("double") / $"n_tokens")
-      .withColumn("stopword_ratio", $"n_stopwords".cast("double") / $"n_tokens")
+      // zero-token docs: ratios are explicitly NULL on BOTH sides (Spark's
+      // div-by-zero null vs DuckDB's IEEE inf/nan would otherwise diverge);
+      // keep stays false either way (n_tokens >= 10 short-circuits)
+      .withColumn("mean_token_len", when($"n_tokens" === 0, lit(null).cast("double"))
+        .otherwise(($"n_chars" - ($"n_tokens" - lit(1))).cast("double") / $"n_tokens"))
+      .withColumn("stopword_ratio", when($"n_tokens" === 0, lit(null).cast("double"))
+        .otherwise($"n_stopwords".cast("double") / $"n_tokens"))
       .withColumn("keep",
         ($"n_tokens" >= 10) && ($"stopword_ratio" >= 0.01) && ($"mean_token_len" <= 12.0))
       .orderBy($"doc_id")
@@ -852,8 +856,10 @@ object TextOps extends QueryPack {
          |    CAST(len(list_filter($duckToks, t -> len(t) > 8)) AS INT) AS n_long_tokens
          |  FROM documents)
          |SELECT doc_id, n_chars, n_tokens, n_stopwords, n_long_tokens,
-         |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
-         |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens END AS mean_token_len,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio,
          |  (n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.01
          |   AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0) AS keep
          |FROM t ORDER BY doc_id""".stripMargin,
