@@ -64,11 +64,12 @@ object Bench {
     // under different machine load), so more passes = tighter min.
     headline.foreach(run)
 
-    // malformed or non-positive values fall back to 3 — a crash here would
-    // discard the already-run warmup, and 0 passes would silently report
-    // the -1 failure sentinel for every query
+    // malformed or out-of-range values fall back to 3 — a crash here would
+    // discard the already-run warmup, 0 passes would silently report the
+    // -1 failure sentinel for every query, and an unbounded value (a typo
+    // like 300) would multiply bench wall-clock 100×
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
+      .flatMap(_.toIntOption).filter(p => p > 0 && p <= 20).getOrElse(3)
     val results = headline.map { n =>
       val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -88,13 +88,15 @@ case class TopKBuf[S](n: Int, items: List[S])
 
 abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
     extends Aggregator[S, TopKBuf[S], Seq[S]] {
-  // Amortized O(1) insert for ANY k (sourceMixResample instantiates this
-  // with corpus-scale quotas, not just k=3): prepend until the buffer
+  // Amortized O(log k) insert for ANY k (sourceMixResample instantiates
+  // this with corpus-scale quotas, not just k=3): prepend until the buffer
   // holds 2k candidates, then one O(k log k) sort-trim pays for the k
-  // preceding prepends. Trimming on EVERY insert would re-sort the whole
-  // buffer per row — fine at k=3, quadratic at quota scale. The partial
-  // shipped at shuffle time may carry up to 2k-1 candidates instead of k;
-  // that 2× is the price of constant-time inserts.
+  // preceding prepends (k log k work / k inserts = log k each; merges of
+  // two near-full buffers are likewise O(k log k) apiece). Trimming on
+  // EVERY insert would re-sort the whole buffer per row — fine at k=3,
+  // quadratic at quota scale. The partial shipped at shuffle time may
+  // carry up to 2k-1 candidates instead of k; that 2× is the price of
+  // cheap inserts.
   private def trim(l: List[S]): List[S] = l.sorted(ord).take(k)
   override def zero: TopKBuf[S] = TopKBuf(0, Nil)
   override def reduce(b: TopKBuf[S], v: S): TopKBuf[S] =

@@ -128,8 +128,11 @@ object EventStreams {
 
   case class FEv(user_id: Long, ts: Timestamp, event_type: String)
   /** Funnel progress per user, step timestamps in epoch-μs (set-once,
-    * monotone: a step only ever fills in, never changes). */
-  case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long])
+    * monotone: a step only ever fills in, never changes). `pc`/`pp` hold
+    * the EARLIEST click/purchase seen while its predecessor slot was still
+    * empty — five longs per user, still bounded by user population. */
+  case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long],
+      pc: Option[Long] = None, pp: Option[Long] = None)
   case class FunnelOut(user_id: Long, t_view: Timestamp,
       t_click: Option[Timestamp], t_purchase: Option[Timestamp],
       steps_completed: Int)
@@ -143,17 +146,23 @@ object EventStreams {
     * the chained-conditional-min semantics of the batch query (ties at the
     * same timestamp resolve view→click→purchase, matching the batch >=).
     * Emits the user's funnel row whenever it changes (Append mode, no
-    * timeout: funnel state is 3 longs per user — bounded by the user
+    * timeout: funnel state is 5 longs per user — bounded by the user
     * population, not the event rate).
     *
-    * Cross-batch ordering: a step event is only recognized after its
-    * predecessor step's slot is set, so delivery must not run a LATER
-    * step's qualifying event in an EARLIER micro-batch than its
-    * predecessor. The file source replays in-order here; out-of-order
-    * deployments buffer behind a watermark first (the standard funnel
-    * trade-off). In batch mode the single invocation sees all events
-    * sorted — identical output to the relational funnel, which is how the
-    * gate (same oracle) and StreamingSpec hold the two faces together.
+    * Cross-batch ordering: a later step arriving in an EARLIER micro-batch
+    * than its predecessor is remembered as a pending timestamp (`pc`/`pp`
+    * hold the earliest such click/purchase) and consumed once the
+    * predecessor fills — so the common out-of-order case (one step's event
+    * delivered a batch early) still completes the funnel instead of
+    * silently dropping it. Residual divergence from the batch answer: only
+    * the EARLIEST pending event is retained, so if a user's first click
+    * precedes their first view but a later click would have qualified,
+    * streaming misses that later click (full equivalence under arbitrary
+    * reordering needs every step timestamp — unbounded state; buffer
+    * behind a watermark for that). In batch mode the single invocation
+    * sees all events sorted — identical output to the relational funnel,
+    * which is how the gate (same oracle) and StreamingSpec hold the two
+    * faces together.
     */
   def funnelStateful(events: Dataset[FEv]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
@@ -164,26 +173,40 @@ object EventStreams {
         (user: Long, rows: Iterator[FEv], state: GroupState[FunnelState]) =>
           val prev = state.getOption.getOrElse(FunnelState(None, None, None))
           var s = prev
+          def pendMin(cur: Option[Long], t: Long) = Some(cur.fold(t)(math.min(_, t)))
           rows.toSeq
             .filter(e => FunnelRank.contains(e.event_type))
             .sortBy(e => (usOf(e.ts), FunnelRank(e.event_type)))
             .foreach { e =>
               val t = usOf(e.ts)
               e.event_type match {
-                case "view" if s.v.isEmpty                    => s = s.copy(v = Some(t))
-                case "click" if s.v.isDefined && s.c.isEmpty  => s = s.copy(c = Some(t))
-                case "purchase" if s.c.isDefined && s.p.isEmpty => s = s.copy(p = Some(t))
-                case _ => // step already reached, or predecessor not yet
+                case "view" if s.v.isEmpty => s = s.copy(v = Some(t))
+                case "click" if s.c.isEmpty =>
+                  // >= guard keeps the chained-min semantics explicit even
+                  // when a click lands in a batch after an out-of-order view
+                  if (s.v.exists(_ <= t)) s = s.copy(c = Some(t))
+                  else s = s.copy(pc = pendMin(s.pc, t))
+                case "purchase" if s.p.isEmpty =>
+                  if (s.c.exists(_ <= t)) s = s.copy(p = Some(t))
+                  else s = s.copy(pp = pendMin(s.pp, t))
+                case _ => // step already reached
               }
             }
-          if (s == prev && streaming) Iterator.empty // no progress: emit nothing
-          else {
-            state.update(s)
-            s.v match {
-              case Some(tv) => Iterator.single(FunnelOut(user, tsOf(tv),
-                s.c.map(tsOf), s.p.map(tsOf), 1 + s.c.size + s.p.size))
-              case None => Iterator.empty // no view yet: user not in funnel
-            }
+          // late-predecessor resolution: a pending step fills once its
+          // predecessor is set (c before p, so a click unlocked this batch
+          // can immediately unlock a pending purchase)
+          if (s.v.isDefined && s.c.isEmpty && s.pc.exists(_ >= s.v.get))
+            s = s.copy(c = s.pc, pc = None)
+          if (s.c.isDefined && s.p.isEmpty && s.pp.exists(_ >= s.c.get))
+            s = s.copy(p = s.pp, pp = None)
+          if (s != prev) state.update(s) // persist pending even when hidden
+          val visibleChanged =
+            (s.v, s.c, s.p) != (prev.v, prev.c, prev.p)
+          if (streaming && !visibleChanged) Iterator.empty
+          else s.v match {
+            case Some(tv) => Iterator.single(FunnelOut(user, tsOf(tv),
+              s.c.map(tsOf), s.p.map(tsOf), 1 + s.c.size + s.p.size))
+            case None => Iterator.empty // no view yet: user not in funnel
           }
       }
   }

@@ -160,6 +160,32 @@ class StreamingSpec extends SparkSpec {
     assert(want.sameElements(relational))
   }
 
+  test("funnel completes when a step arrives a micro-batch before its predecessor") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.FEv]
+    val out = EventStreams.funnelStateful(mem.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("t_spec_funnel_ooo")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    // batch 1: the click (and a purchase) land BEFORE the view is delivered
+    mem.addData(Seq(
+      EventStreams.FEv(7L, ts(20), "click"),
+      EventStreams.FEv(7L, ts(30), "purchase")))
+    q.processAllAvailable()
+    // batch 2: the view arrives late, with an earlier timestamp
+    mem.addData(Seq(EventStreams.FEv(7L, ts(10), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t_spec_funnel_ooo")
+      .orderBy($"steps_completed".desc).limit(1)
+      .select($"t_view", $"t_click", $"t_purchase", $"steps_completed")
+      .collect().head
+    assert(last.getInt(3) == 3, s"pending steps should resolve on late view: $last")
+    assert(last.getTimestamp(0) == ts(10) && last.getTimestamp(1) == ts(20) &&
+      last.getTimestamp(2) == ts(30))
+  }
+
   test("checkpointed file sink is exactly-once across restarts") {
     val out = "/tmp/graft_stream/sink"
     val cp = "/tmp/graft_stream/cp"
