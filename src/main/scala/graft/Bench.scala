@@ -64,12 +64,17 @@ object Bench {
     // under different machine load), so more passes = tighter min.
     headline.foreach(run)
 
-    // malformed or out-of-range values fall back to 3 — a crash here would
-    // discard the already-run warmup, 0 passes would silently report the
-    // -1 failure sentinel for every query, and an unbounded value (a typo
-    // like 300) would multiply bench wall-clock 100×
+    // malformed or non-positive values fall back to 3 — a crash here would
+    // discard the already-run warmup and 0 passes would silently report the
+    // -1 failure sentinel for every query; values above 20 clamp to 20 (an
+    // unbounded typo like 300 would multiply bench wall-clock 100×), with a
+    // stderr note so an asked-for-25 run doesn't silently measure less
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).filter(p => p > 0 && p <= 20).getOrElse(3)
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .map { p =>
+        if (p > 20) System.err.println(s"[bench] SPARK_GRAFT_BENCH_PASSES=$p clamped to 20")
+        math.min(p, 20)
+      }.getOrElse(3)
     val results = headline.map { n =>
       val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -283,20 +283,31 @@ object SimilarityOps extends QueryPack {
     * inputs. cosine_sim is scale-invariant in the centroid, so on
     * unit-norm embeddings the two refits assign identically.
     *
+    * SEEDING is k-means++-style but deterministic: one corpus scan draws an
+    * md5-ordered oversample of `8·k` candidates to the driver (the k-means||
+    * oversample-then-reduce shape — at 100 TB the sample, not the corpus,
+    * comes back), then greedy farthest-first (Gonzalez) picks k mutually
+    * spread candidates. No random stream, so an index built today matches
+    * one built tomorrow. STOPPING is convergence-based: Lloyd rounds end
+    * when the relative inertia improvement drops below `tol` (or at
+    * `maxRounds`), so converged data doesn't pay for fixed extra scans.
+    *
     * Returns (centroids, inertiaPerRound); inertia = Σ (1 - cos(v, cent(v))),
     * non-increasing over rounds — KMeansSpec asserts it.
     */
   def kmeansCentroids(spark: SparkSession, dir: String,
-      k: Int = IvfCells, rounds: Int = 3): (Seq[(Int, Seq[Float])], Seq[Double]) = {
+      k: Int = IvfCells, maxRounds: Int = 10,
+      tol: Double = 1e-4): (Seq[(Int, Seq[Float])], Seq[Double]) = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    var cents: Seq[(Int, Seq[Float])] = e.filter($"vec_id" < k)
-      .orderBy($"vec_id").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).toSeq
-    val inertias = Seq.newBuilder[Double]
-    for (_ <- 0 until rounds) {
+    var cents: Seq[(Int, Seq[Float])] =
+      seedCentroids(e, k).zipWithIndex.map { case (c, i) => (i, c) }
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val centsDf = cents.toDF("cent_id", "cent")
       val assigned = e.join(broadcast(centsDf))
         .withColumn("csim", expr("cosine_sim(embedding, cent)"))
@@ -306,26 +317,76 @@ object SimilarityOps extends QueryPack {
           first($"embedding").as("embedding"))
         .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
         .persist() // two actions below (inertia, refit) — scan the corpus once
-      inertias += assigned.agg(
+      val inertia = assigned.agg(
         sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
-      val refit = assigned
-        // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
-        .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
-        .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos")
-        .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-          s => s.getField("m").cast("float")).as("cent"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      inertias += inertia
+      converged = inertias.size >= 2 && {
+        val prev = inertias(inertias.size - 2)
+        prev - inertia <= tol * math.max(prev, 1e-12)
+      }
+      if (!converged) {
+        val refit = assigned
+          // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
+          .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
+          .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
+          .groupBy($"cell", $"pos")
+          .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy($"cell")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+            s => s.getField("m").cast("float")).as("cent"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+        // a centroid that won zero vectors this round keeps its previous
+        // position (standard empty-cluster handling) — k never shrinks
+        cents = cents.map { case (id, old) => (id, refit.getOrElse(id, old)) }
+      }
       assigned.unpersist()
-      // a centroid that won zero vectors this round keeps its previous
-      // position (standard empty-cluster handling) — k never shrinks
-      cents = cents.map { case (id, old) => (id, refit.getOrElse(id, old)) }
+      round += 1
     }
-    (cents, inertias.result())
+    (cents, inertias.toSeq)
+  }
+
+  /** Deterministic k-means++-style seeds: md5-ordered oversample (one scan,
+    * `8·k` rows to the driver — model-state scale, not corpus scale), then
+    * greedy farthest-first over the sample. maxBy is deterministic (first
+    * max wins) and the candidate order is pinned by (md5, vec_id), so the
+    * seed set is reproducible across runs and partitionings.
+    */
+  private def seedCentroids(e: DataFrame, k: Int): Seq[Seq[Float]] = {
+    import e.sparkSession.implicits._
+    val cand = e.withColumn("h", md5(concat(lit("kmseed:"), $"vec_id")))
+      .orderBy($"h", $"vec_id").limit(8 * k)
+      .select($"embedding").collect().map(_.getSeq[Float](0)).toIndexedSeq
+    require(cand.size >= k, s"corpus smaller than k=$k")
+    def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    // track each candidate's distance to its nearest chosen seed — O(n·k)
+    val minDist = scala.collection.mutable.ArrayBuffer(cand.map(cosDist(_, cand.head)): _*)
+    while (chosen.size < k) {
+      val next = minDist.indices.maxBy(minDist)
+      chosen += cand(next)
+      var i = 0
+      while (i < cand.size) {
+        val d = cosDist(cand(i), cand(next))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    chosen.toSeq
+  }
+
+  /** Raw k-means IVF ANN rows (q_id, nearest_ivf, cos) — the actual
+    * retrieval output; KMeansSpec pins its recall vs brute force. */
+  def annIvfKmeansRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val (km, _) = kmeansCentroids(spark, dir)
+    ivfSearch(Tables.embeddings(spark, dir), km.toDF("cent_id", "cent"))
   }
 
   /** IVF ANN over k-means centroids — [[annIvf]] with the trained coarse
@@ -338,17 +399,8 @@ object SimilarityOps extends QueryPack {
     * flip it) plus one in-engine assertion that the k-means IVF probe
     * recovered an exact-top-3 neighbor for ≥3 of the 5 queries — the same
     * bound KMeansSpec pins, now hash-checked every round. The raw ANN rows
-    * remain available via [[ivfSearch]]; KMeansSpec exercises them.
+    * remain available via [[annIvfKmeansRaw]]; KMeansSpec exercises them.
     */
-  /** Raw k-means IVF ANN rows (q_id, nearest_ivf, cos) — the actual
-    * retrieval output; KMeansSpec pins its recall vs brute force. */
-  def annIvfKmeansRaw(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    GraftFunctions.register(spark)
-    val (km, _) = kmeansCentroids(spark, dir)
-    ivfSearch(Tables.embeddings(spark, dir), km.toDF("cent_id", "cent"))
-  }
-
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)

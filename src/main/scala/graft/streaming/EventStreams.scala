@@ -130,7 +130,14 @@ object EventStreams {
   /** Funnel progress per user, step timestamps in epoch-μs (set-once,
     * monotone: a step only ever fills in, never changes). `pc`/`pp` hold
     * the EARLIEST click/purchase seen while its predecessor slot was still
-    * empty — five longs per user, still bounded by user population. */
+    * empty — five longs per user, still bounded by user population.
+    *
+    * STATE-SCHEMA NOTE: `pc`/`pp` grew this record from 3 to 5 fields; a
+    * streaming query restarted from a checkpoint written by the 3-field
+    * encoder will fail state deserialization. Fresh test checkpoints are
+    * unaffected, but a persisted deployment upgrading across this change
+    * must start a new checkpoint location (standard Spark stateful-schema
+    * evolution constraint). */
   case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long],
       pc: Option[Long] = None, pp: Option[Long] = None)
   case class FunnelOut(user_id: Long, t_view: Timestamp,

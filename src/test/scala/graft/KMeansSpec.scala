@@ -15,18 +15,30 @@ class KMeansSpec extends SparkSpec {
     val (cents, inertias) = SimilarityOps.kmeansCentroids(spark, sfDir)
     assert(cents.size == SimilarityOps.IvfCells)
     assert(cents.forall(_._2.size == SimilarityOps.Dim))
-    assert(inertias.size == 3)
+    assert(inertias.nonEmpty && inertias.size <= 10,
+      s"expected 1..10 convergence-bounded rounds, got ${inertias.size}")
     inertias.sliding(2).foreach {
       case Seq(a, b) => assert(b <= a + 1e-9, s"inertia rose: $inertias")
       case _ =>
     }
   }
 
+  test("k-means: convergence stop fires before the round cap on converged data") {
+    // with a generous cap, Lloyd must terminate on the tolerance check, not
+    // the cap — otherwise every training run pays maxRounds corpus scans
+    val (_, inertias) = SimilarityOps.kmeansCentroids(spark, sfDir, maxRounds = 25)
+    assert(inertias.size < 25,
+      s"no early stop: ran all 25 rounds (inertias: $inertias)")
+    val (last2, prev2) = (inertias.last, inertias(inertias.size - 2))
+    assert(prev2 - last2 <= 1e-4 * math.max(prev2, 1e-12),
+      s"stopped but not converged: $inertias")
+  }
+
   test("IVF over k-means centroids: nearest lands in brute-force top-3 for most queries") {
     val brute = SimilarityOps.cosineTopK(spark, sfDir)
       .select($"q_id", $"c_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val ivf = SimilarityOps.annIvfKmeans(spark, sfDir)
+    val ivf = SimilarityOps.annIvfKmeansRaw(spark, sfDir)
       .select($"q_id", $"nearest_ivf").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = ivf.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
