@@ -109,17 +109,18 @@ object Formats extends QueryPack {
   }
 
   /** Compression-codec parity (reference: DefaultCodec/GzipCodec/BZip2Codec
-    * on text containers): gzip-compressed text out, transparent decompress
-    * on read. Note gzip text is NOT splittable — one task per file — which
-    * is why the primary store is parquet (zstd, splittable row groups);
-    * this path exists for interchange with legacy pipelines.
+    * on text containers): codec-compressed text out, transparent decompress
+    * on read. Note gzip text is NOT splittable — one task per file — while
+    * bzip2 IS block-splittable (the one compressed-text codec Hadoop could
+    * split); either way the primary store is parquet (zstd, splittable row
+    * groups) and these paths exist for interchange with legacy pipelines.
     */
-  def gzipTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  private def codecTextRoundtrip(codec: String)(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = scratch("gz_nation")
+    val path = scratch(s"${codec}_nation")
     Tables.nation(spark, dir)
       .select(concat_ws("\t", $"n_nationkey", $"n_name", $"n_regionkey").as("value"))
-      .write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+      .write.mode(SaveMode.Overwrite).option("compression", codec).text(path)
     spark.read.text(path)
       .select(split($"value", "\t").as("f"))
       .select(
@@ -128,6 +129,12 @@ object Formats extends QueryPack {
         element_at($"f", 3).cast("bigint").as("n_regionkey"))
       .orderBy($"n_nationkey")
   }
+
+  def gzipTextRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    codecTextRoundtrip("gzip")(spark, dir)
+
+  def bzip2TextRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    codecTextRoundtrip("bzip2")(spark, dir)
 
   /** JSON-lines round-trip with explicit schema — the interchange format
     * every ingestion pipeline meets; schema-on-read, never inferred.
@@ -363,6 +370,7 @@ object Formats extends QueryPack {
     "fmt_xml_by_tag" -> (xmlByTag _),
     "fmt_json_roundtrip" -> (jsonRoundtrip _),
     "fmt_gzip_text" -> (gzipTextRoundtrip _),
+    "fmt_bzip2_text" -> (bzip2TextRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_permissive_parse" -> (permissiveParse _),
     "fmt_text_roundtrip" -> (textRoundtrip _),
@@ -390,6 +398,8 @@ object Formats extends QueryPack {
       """SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "fmt_gzip_text" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "fmt_bzip2_text" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "fmt_orc_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n,

@@ -46,6 +46,35 @@ object EventStreams {
       .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Sliding 10-minute/5-minute counts — the streaming face of
+    * [[graft.operators.Events.sliding]] (each event lands in exactly two
+    * windows; state is two window rows per live slot, watermark-bounded).
+    * Same definition runs in batch (watermark is a no-op there).
+    */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"w.end".as("w_end"), $"n")
+  }
+
+  /** Window-only tumbling counts — the incremental half of the streaming
+    * gap-fill ([[graft.streaming.StreamQueries.streamGapfill]]): the event
+    * stream reduces to one row per non-empty 10-minute window; the zero-fill
+    * spine join happens at read time over the bounded sink, because the
+    * spine needs corpus min/max which a stream only has once bounded.
+    */
+  def windowOnlyCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+  }
+
   /** At-least-once source dedup by event id, state bounded by watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "20 minutes")

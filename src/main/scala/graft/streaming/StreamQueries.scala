@@ -25,6 +25,39 @@ object StreamQueries extends QueryPack {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Sliding-window twin of `evt_sliding`: real incremental execution over
+    * the file source, same window expression, same oracle.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val streamed = EventStreams.slidingCounts(EventStreams.fileSource(spark, dir))
+    EventStreams.runToMemory(spark, streamed, s"stream_sliding_${System.nanoTime()}")
+      .orderBy($"w_start")
+  }
+
+  /** Gap-fill twin of `evt_gapfill`. The event-volume-proportional work —
+    * reducing the stream to per-window counts — runs as a REAL streaming
+    * aggregation; the zero-fill spine join is a read-time post-pass over
+    * the bounded sink (a spine needs corpus min/max, which a stream only
+    * has once bounded — dashboards gap-fill the sink table the same way).
+    * Bounds derive from the sink's window starts: flooring to 10 minutes
+    * never crosses an hour boundary, so date_trunc('hour', min w_start) =
+    * date_trunc('hour', min ts), and the hour-aligned spine's last slot ≤
+    * max w_start reproduces the batch spine exactly.
+    */
+  def streamGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = EventStreams.runToMemory(spark,
+      EventStreams.windowOnlyCounts(EventStreams.fileSource(spark, dir)),
+      s"stream_gapfill_${System.nanoTime()}")
+    val spine = counts
+      .agg(min(date_trunc("hour", $"w_start")).as("lo"), max($"w_start").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 10 minutes)")).as("w_start"))
+    broadcast(spine).join(counts, Seq("w_start"), "left_outer")
+      .select($"w_start", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"w_start")
+  }
+
   def sessionizeFmgws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)
@@ -48,10 +81,16 @@ object StreamQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
+    "stream_sliding" -> (streamSliding _),
+    "stream_gapfill" -> (streamGapfill _),
     "stream_sessionize_fmgws" -> (sessionizeFmgws _),
     "stream_funnel_fmgws" -> (funnelFmgws _))
 
   override def oracle: Map[String, String] = Map(
+    // LITERALLY the batch twins' oracles — one definition per semantics,
+    // checked against both execution modes
+    "stream_sliding" -> graft.operators.Events.oracle("evt_sliding"),
+    "stream_gapfill" -> graft.operators.Events.oracle("evt_gapfill"),
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
         |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,

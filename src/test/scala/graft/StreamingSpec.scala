@@ -23,6 +23,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("file-source streaming sliding counts == batch sliding counts") {
+    val got = graft.streaming.StreamQueries.streamSliding(spark, sfDir)
+      .collect().map(_.toString)
+    val want = graft.operators.Events.sliding(spark, sfDir)
+      .collect().map(_.toString)
+    assert(got.sameElements(want))
+  }
+
+  test("streaming gap-fill (windowed agg + sink spine join) == batch gap-fill") {
+    val got = graft.streaming.StreamQueries.streamGapfill(spark, sfDir)
+      .collect().map(_.toString)
+    val want = graft.operators.Events.gapfill(spark, sfDir)
+      .collect().map(_.toString)
+    assert(got.sameElements(want))
+    // the spine actually filled something: zero-count windows exist
+    assert(got.exists(_.contains(",0]")), "expected at least one zero-filled window")
+  }
+
   test("MemoryStream incremental aggregation converges to the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
