@@ -64,17 +64,19 @@ object Bench {
     // under different machine load), so more passes = tighter min.
     headline.foreach(run)
 
-    // malformed or non-positive values fall back to 3 — a crash here would
-    // discard the already-run warmup and 0 passes would silently report the
-    // -1 failure sentinel for every query; values above 20 clamp to 20 (an
-    // unbounded typo like 300 would multiply bench wall-clock 100×), with a
-    // stderr note so an asked-for-25 run doesn't silently measure less
+    // malformed or non-positive values fall back to 7 (min-of-3 was not
+    // enough: identical builds measured 24-32% apart round-over-round on a
+    // shared machine) — a crash here would discard the already-run warmup
+    // and 0 passes would silently report the -1 failure sentinel for every
+    // query; values above 20 clamp to 20 (an unbounded typo like 300 would
+    // multiply bench wall-clock 100×), with a stderr note so an
+    // asked-for-25 run doesn't silently measure less
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ > 0)
       .map { p =>
         if (p > 20) System.err.println(s"[bench] SPARK_GRAFT_BENCH_PASSES=$p clamped to 20")
         math.min(p, 20)
-      }.getOrElse(3)
+      }.getOrElse(7)
     val results = headline.map { n =>
       val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -82,7 +84,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // second block: the banded-LSH scale paths (graft.sim.exact=false) —
+    // the configuration a 100 TB deployment runs the similarity/dedup
+    // family under. Separate JSON key so the headline block (and its
+    // total) stays comparable round-over-round.
+    val bandedSet = Seq("sim_pairs_threshold", "sim_nearest_same_label",
+      "dedup_embedding_cosine", "dedup_ngram_jaccard")
+    spark.conf.set("graft.sim.exact", "false")
+    bandedSet.foreach(run) // warmup: banded plans codegen fresh classes
+    val banded = bandedSet.map { n =>
+      val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    spark.conf.set("graft.sim.exact", "true")
+    val bq = banded.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
     // parse in round 1 — also write the line to a file it can read directly
