@@ -301,7 +301,11 @@ object SimilarityOps extends QueryPack {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // persist the training input: the seeding scan plus every Lloyd round
+    // re-reads it (standard iterative-ML caching — MLlib's KMeans does the
+    // same). At 100 TB this is the working-set cache a real deployment
+    // sizes; locally it cuts one parquet scan per round.
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").persist()
     var cents: Seq[(Int, Seq[Float])] =
       seedCentroids(e, k).zipWithIndex.map { case (c, i) => (i, c) }
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -344,6 +348,7 @@ object SimilarityOps extends QueryPack {
       assigned.unpersist()
       round += 1
     }
+    e.unpersist()
     (cents, inertias.toSeq)
   }
 
