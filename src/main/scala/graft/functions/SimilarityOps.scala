@@ -313,6 +313,17 @@ object SimilarityOps extends QueryPack {
     var converged = false
     while (round < maxRounds && !converged) {
       val centsDf = cents.toDF("cent_id", "cent")
+      // inertia rides the refit action as an observed metric, so each Lloyd
+      // round is ONE pass over the corpus (assign → observe → refit) instead
+      // of two (separate inertia action + refit action). At 100 TB that
+      // halves the per-round scan cost; the price is that the final
+      // (converged) round computes a refit that is then discarded, which is
+      // one extra aggregation over the last assignment — cheap next to a
+      // second full pass per round. Output is bit-identical to the two-pass
+      // form: same inertia formula (decimal-exact sum via accumulator
+      // merge), same stopping rule, and the discarded refit never touches
+      // `cents`.
+      val obs = org.apache.spark.sql.Observation()
       val assigned = e.join(broadcast(centsDf))
         .withColumn("csim", expr("cosine_sim(embedding, cent)"))
         .groupBy($"vec_id")
@@ -320,32 +331,31 @@ object SimilarityOps extends QueryPack {
             struct($"csim", (-$"cent_id").as("nc"))).as("b"),
           first($"embedding").as("embedding"))
         .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
-        .persist() // two actions below (inertia, refit) — scan the corpus once
-      val inertia = assigned.agg(
-        sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double")).head().getDouble(0)
+        .observe(obs,
+          sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double").as("inertia"))
+      val refit = assigned
+        // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
+        .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
+        .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          s => s.getField("m").cast("float")).as("cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
+      val inertia = obs.get("inertia").asInstanceOf[Double]
       inertias += inertia
       converged = inertias.size >= 2 && {
         val prev = inertias(inertias.size - 2)
         prev - inertia <= tol * math.max(prev, 1e-12)
       }
       if (!converged) {
-        val refit = assigned
-          // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
-          .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
-          .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
-          .groupBy($"cell", $"pos")
-          .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy($"cell")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-            s => s.getField("m").cast("float")).as("cent"))
-          .collect()
-          .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
         // a centroid that won zero vectors this round keeps its previous
         // position (standard empty-cluster handling) — k never shrinks
         cents = cents.map { case (id, old) => (id, refit.getOrElse(id, old)) }
       }
-      assigned.unpersist()
       round += 1
     }
     e.unpersist()
