@@ -77,12 +77,16 @@ object Bench {
         if (p > 20) System.err.println(s"[bench] SPARK_GRAFT_BENCH_PASSES=$p clamped to 20")
         math.min(p, 20)
       }.getOrElse(7)
-    val results = headline.map { n =>
+    // one measurement methodology for every block: min of `passes` timed
+    // runs (failures excluded; all-failed → the -1 sentinel)
+    def measure(names: Seq[String]): Seq[(String, Double)] = names.map { n =>
       val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = measure(headline)
+    val qs = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // second block: the banded-LSH scale paths (graft.sim.exact=false) —
@@ -93,13 +97,8 @@ object Bench {
       "dedup_embedding_cosine", "dedup_ngram_jaccard")
     spark.conf.set("graft.sim.exact", "false")
     bandedSet.foreach(run) // warmup: banded plans codegen fresh classes
-    val banded = bandedSet.map { n =>
-      val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
-    }
+    val bq = toJson(measure(bandedSet))
     spark.conf.set("graft.sim.exact", "true")
-    val bq = banded.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON

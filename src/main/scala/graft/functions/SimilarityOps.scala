@@ -295,17 +295,26 @@ object SimilarityOps extends QueryPack {
     * Returns (centroids, inertiaPerRound); inertia = Σ (1 - cos(v, cent(v))),
     * non-increasing over rounds — KMeansSpec asserts it.
     */
+  /** Default relative-improvement threshold for Lloyd convergence, and the
+    * divide-guard floor under it — shared with KMeansSpec so the test pins
+    * the SAME stopping rule the production default uses. */
+  val KmTol = 1e-4
+  val KmTolFloor = 1e-12
+
   def kmeansCentroids(spark: SparkSession, dir: String,
       k: Int = IvfCells, maxRounds: Int = 10,
-      tol: Double = 1e-4): (Seq[(Int, Seq[Float])], Seq[Double]) = {
+      tol: Double = KmTol): (Seq[(Int, Seq[Float])], Seq[Double]) = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(spark)
     // persist the training input: the seeding scan plus every Lloyd round
     // re-reads it (standard iterative-ML caching — MLlib's KMeans does the
     // same). At 100 TB this is the working-set cache a real deployment
-    // sizes; locally it cuts one parquet scan per round.
+    // sizes; locally it cuts one parquet scan per round. try/finally so a
+    // failed round (or a corpus smaller than k in seeding) can't leave a
+    // corpus-sized CacheManager entry pinned for the rest of the session.
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").persist()
+    try {
     var cents: Seq[(Int, Seq[Float])] =
       seedCentroids(e, k).zipWithIndex.map { case (c, i) => (i, c) }
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -349,7 +358,7 @@ object SimilarityOps extends QueryPack {
       inertias += inertia
       converged = inertias.size >= 2 && {
         val prev = inertias(inertias.size - 2)
-        prev - inertia <= tol * math.max(prev, 1e-12)
+        prev - inertia <= tol * math.max(prev, KmTolFloor)
       }
       if (!converged) {
         // a centroid that won zero vectors this round keeps its previous
@@ -358,8 +367,8 @@ object SimilarityOps extends QueryPack {
       }
       round += 1
     }
-    e.unpersist()
     (cents, inertias.toSeq)
+    } finally e.unpersist()
   }
 
   /** Deterministic k-means++-style seeds: md5-ordered oversample (one scan,
@@ -370,14 +379,22 @@ object SimilarityOps extends QueryPack {
     */
   private def seedCentroids(e: DataFrame, k: Int): Seq[Seq[Float]] = {
     import e.sparkSession.implicits._
-    val cand = e.withColumn("h", md5(concat(lit("kmseed:"), $"vec_id")))
+    // zero-norm embeddings are excluded from the oversample: cosine distance
+    // to the zero vector is undefined, and a NaN distance would win every
+    // farthest-first comparison (NaN sorts above all reals), seeding a
+    // degenerate centroid that NaN-poisons the whole assignment. Real
+    // corpora do contain zero embeddings (failed encoders); they still get
+    // ASSIGNED to cells downstream, they just can't seed one.
+    val cand = e.where(expr("dot_product(embedding, embedding) > 0"))
+      .withColumn("h", md5(concat(lit("kmseed:"), $"vec_id")))
       .orderBy($"h", $"vec_id").limit(8 * k)
       .select($"embedding").collect().map(_.getSeq[Float](0)).toIndexedSeq
-    require(cand.size >= k, s"corpus smaller than k=$k")
+    require(cand.size >= k, s"corpus has fewer than k=$k nonzero embeddings")
     def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      1.0 - dot / math.sqrt(na * nb)
+      if (na == 0.0 || nb == 0.0) 1.0 // defensive (unreachable post-filter): vs-zero ≙ orthogonal, never NaN
+      else 1.0 - dot / math.sqrt(na * nb)
     }
     val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
     // track each candidate's distance to its nearest chosen seed — O(n·k)

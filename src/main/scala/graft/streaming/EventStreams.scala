@@ -281,6 +281,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Dataset analysis is eager, so the resolved memory-sink plan survives
+    // dropping the temp view; dropping bounds catalog/driver growth when a
+    // timing run re-invokes the same streaming query many times per session
+    // (each invocation registers a fresh uniquely-named sink view).
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

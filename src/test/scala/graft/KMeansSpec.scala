@@ -30,7 +30,7 @@ class KMeansSpec extends SparkSpec {
     assert(inertias.size < 25,
       s"no early stop: ran all 25 rounds (inertias: $inertias)")
     val (last2, prev2) = (inertias.last, inertias(inertias.size - 2))
-    assert(prev2 - last2 <= 1e-4 * math.max(prev2, 1e-12),
+    assert(prev2 - last2 <= SimilarityOps.KmTol * math.max(prev2, SimilarityOps.KmTolFloor),
       s"stopped but not converged: $inertias")
   }
 
