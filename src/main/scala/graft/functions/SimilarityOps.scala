@@ -267,6 +267,12 @@ object SimilarityOps extends QueryPack {
     ivfSearch(e, cents)
   }
 
+  /** Default relative-improvement threshold for Lloyd convergence, and the
+    * divide-guard floor under it — shared with KMeansSpec so the test pins
+    * the SAME stopping rule the production default uses. */
+  val KmTol = 1e-4
+  val KmTolFloor = 1e-12
+
   /** Lloyd k-means coarse quantizer — the production centroid builder the
     * first-`IvfCells` placeholder in [[annIvf]] points at. Per round:
     * assignment is ONE codegen scan against broadcast centroids (argmax of
@@ -295,12 +301,6 @@ object SimilarityOps extends QueryPack {
     * Returns (centroids, inertiaPerRound); inertia = Σ (1 - cos(v, cent(v))),
     * non-increasing over rounds — KMeansSpec asserts it.
     */
-  /** Default relative-improvement threshold for Lloyd convergence, and the
-    * divide-guard floor under it — shared with KMeansSpec so the test pins
-    * the SAME stopping rule the production default uses. */
-  val KmTol = 1e-4
-  val KmTolFloor = 1e-12
-
   def kmeansCentroids(spark: SparkSession, dir: String,
       k: Int = IvfCells, maxRounds: Int = 10,
       tol: Double = KmTol): (Seq[(Int, Seq[Float])], Seq[Double]) = {
