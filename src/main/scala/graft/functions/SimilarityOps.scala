@@ -3,7 +3,7 @@ package graft.functions
 import graft.QueryPack
 import graft.core.Tables
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -218,8 +218,9 @@ object SimilarityOps extends QueryPack {
 
   /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
     * coarse-quantize every vector to its nearest of `IvfCells` centroids
-    * (the inverted file, built once: one broadcast join + per-vector argmax,
-    * no shuffle of the corpus), then each query probes only its `NProbe`
+    * (the inverted file, built once: a per-row argmax against the inline
+    * centroid literal, no shuffle of the corpus), then each query probes
+    * only its `NProbe`
     * nearest cells. Search cost drops from O(n) per query to
     * O(n·nprobe/cells) with recall controlled by nprobe.
     *
@@ -229,24 +230,42 @@ object SimilarityOps extends QueryPack {
     * DuckDB oracle replays the probe plan); DedupSimSpec asserts recall vs
     * the brute-force `sim_cosine_topk` baseline.
     */
-  /** IVF probe plan shared by the first-K and k-means centroid variants.
-    * Corpus-side argmaxes (cell assignment, final search) are
-    * partial-aggregable `max_by` with the (score, -id) ordering struct —
-    * one row per (group, partition) in the shuffle, no corpus-wide window
-    * sort. The probe ranking stays a window: it runs on the tiny broadcast
-    * query side, not the corpus.
+  /** Centroids as an inline array-of-structs literal — centroids are driver
+    * model state (k rows), so embedding them in the plan lets every
+    * corpus-side consumer compute its argmin/argmax per ROW instead of
+    * exploding a (corpus × k) join and re-grouping. Field order
+    * (csim, nc, cent_id) makes `array_max` reproduce `max_by`'s
+    * (score, -id) ordering exactly: highest csim wins, ties go to the
+    * LOWEST cent_id, and the third field is never reached (nc is unique).
     */
-  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
+  private def bestCellCol(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
+    array_max(transform(centArr, c => struct(
+      call_function("cosine_sim", emb, c.getField("cent")).as("csim"),
+      (-c.getField("cent_id")).as("nc"),
+      c.getField("cent_id").as("cent_id"))))
+  }
+
+  /** IVF probe plan shared by the first-K and k-means centroid variants.
+    * Cell assignment is a per-row argmax over the inline centroid literal
+    * ([[bestCellCol]]) — the corpus is NEVER shuffled: the old
+    * broadcast-join + groupBy(vec_id) form moved every (vec_id, embedding)
+    * row through an Exchange just to re-assemble what was computable in
+    * place. The final search argmax is a partial-aggregable `max_by`
+    * grouped by q_id (one row per (query, partition) in the shuffle). The
+    * probe ranking stays a window: it runs on the tiny query side, not the
+    * corpus.
+    */
+  private def ivfSearch(e: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
     import e.sparkSession.implicits._
-    val inverted = e.join(broadcast(cents))
-      .withColumn("csim", expr("cosine_sim(embedding, cent)"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cent_id", struct($"csim", (-$"cent_id").as("nc"))).as("cell"),
-        first($"embedding").as("embedding"))
-      .select($"cell", $"vec_id", $"embedding")
+    val inverted = e
+      .withColumn("b", bestCellCol(cents, $"embedding"))
+      .select($"b.cent_id".as("cell"), $"vec_id", $"embedding")
+    val centsDf = cents.toDF("cent_id", "cent")
     val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
-    val probes = q.join(broadcast(cents))
+    val probes = q.join(broadcast(centsDf))
       .withColumn("csim", expr("cosine_sim(q_emb, cent)"))
       .withColumn("rn", row_number().over(wP)).filter($"rn" <= NProbe)
       .select($"q_id", $"q_emb", $"cent_id".as("cell"))
@@ -262,8 +281,11 @@ object SimilarityOps extends QueryPack {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
+    // first-K placeholder centroids: k rows of driver model state, same
+    // collect-to-driver convention as the trained k-means centroids
     val cents = e.filter($"vec_id" < IvfCells)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+      .select($"vec_id", $"embedding").orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).toSeq
     ivfSearch(e, cents)
   }
 
@@ -275,8 +297,9 @@ object SimilarityOps extends QueryPack {
 
   /** Lloyd k-means coarse quantizer — the production centroid builder the
     * first-`IvfCells` placeholder in [[annIvf]] points at. Per round:
-    * assignment is ONE codegen scan against broadcast centroids (argmax of
-    * k cosine sims per vector); the refit shuffles only (cell, dim) partial
+    * assignment is ONE narrow scan with a per-row argmax of k cosine sims
+    * against the inline centroid literal ([[bestCellCol]] — no join, no
+    * shuffle); the refit shuffles only (cell, dim) partial
     * sums (map-combined, ≤ k·dim·partitions rows in flight — corpus never
     * reshuffles); the k·dim result returns to the driver like any ML model
     * parameter (same shape as MLlib's treeAggregate loop). Means are
@@ -321,7 +344,6 @@ object SimilarityOps extends QueryPack {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val centsDf = cents.toDF("cent_id", "cent")
       // inertia rides the refit action as an observed metric, so each Lloyd
       // round is ONE pass over the corpus (assign → observe → refit) instead
       // of two (separate inertia action + refit action). At 100 TB that
@@ -332,13 +354,14 @@ object SimilarityOps extends QueryPack {
       // form: same inertia formula (decimal-exact sum via accumulator
       // merge), same stopping rule, and the discarded refit never touches
       // `cents`.
+      //
+      // Assignment is a per-row argmax over the inline centroid literal
+      // ([[bestCellCol]]) — fully narrow. The only shuffle in a round is
+      // the refit's map-combined (cell, dim) partial sums (≤ k·dim·
+      // partitions rows); the corpus itself never moves.
       val obs = org.apache.spark.sql.Observation()
-      val assigned = e.join(broadcast(centsDf))
-        .withColumn("csim", expr("cosine_sim(embedding, cent)"))
-        .groupBy($"vec_id")
-        .agg(max_by(struct($"cent_id", $"csim"),
-            struct($"csim", (-$"cent_id").as("nc"))).as("b"),
-          first($"embedding").as("embedding"))
+      val assigned = e
+        .withColumn("b", bestCellCol(cents, $"embedding"))
         .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
         .observe(obs,
           sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double").as("inertia"))
@@ -418,7 +441,7 @@ object SimilarityOps extends QueryPack {
     import spark.implicits._
     GraftFunctions.register(spark)
     val (km, _) = kmeansCentroids(spark, dir)
-    ivfSearch(Tables.embeddings(spark, dir), km.toDF("cent_id", "cent"))
+    ivfSearch(Tables.embeddings(spark, dir), km)
   }
 
   /** IVF ANN over k-means centroids — [[annIvf]] with the trained coarse
