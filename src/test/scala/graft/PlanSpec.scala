@@ -160,6 +160,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"unexpected aggregation:\n$plan")
   }
 
+  test("IVF inverted file never shuffles the corpus (no vec_id partitioning)") {
+    // cell assignment is a per-row argmax over the inline centroid literal;
+    // the only hash shuffle left in the IVF search is the per-query final
+    // argmax (grouped by q_id, ≤1 row per (query, partition)). A
+    // hashpartitioning on vec_id would mean the broadcast-join + re-group
+    // corpus shuffle crept back in.
+    val plan = planOf(graft.functions.SimilarityOps.annIvf(spark, sfDir))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus re-grouped by vec_id (assignment shuffled the corpus):\n$plan")
+    assert(plan.contains("hashpartitioning(q_id"),
+      s"expected the per-query final argmax shuffle:\n$plan")
+  }
+
   test("funnel has no window operator: per-step min-aggregations only") {
     val plan = planOf(graft.operators.Events.funnel(spark, sfDir))
     assert(!plan.contains("Window"), s"funnel fell back to a window sort:\n$plan")
