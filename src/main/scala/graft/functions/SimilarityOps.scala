@@ -216,20 +216,6 @@ object SimilarityOps extends QueryPack {
   val IvfCells = 16
   val NProbe = 2
 
-  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
-    * coarse-quantize every vector to its nearest of `IvfCells` centroids
-    * (the inverted file, built once: a per-row argmax against the inline
-    * centroid literal, no shuffle of the corpus), then each query probes
-    * only its `NProbe`
-    * nearest cells. Search cost drops from O(n) per query to
-    * O(n·nprobe/cells) with recall controlled by nprobe.
-    *
-    * Centroids here are the first `IvfCells` vectors (deterministic; a
-    * production build would k-means them — the plan shape is identical).
-    * Hash-gated since round 2 (first-K centroids are deterministic, so the
-    * DuckDB oracle replays the probe plan); DedupSimSpec asserts recall vs
-    * the brute-force `sim_cosine_topk` baseline.
-    */
   /** Centroids as an inline array-of-structs literal — centroids are driver
     * model state (k rows), so embedding them in the plan lets every
     * corpus-side consumer compute its argmin/argmax per ROW instead of
@@ -239,6 +225,10 @@ object SimilarityOps extends QueryPack {
     * LOWEST cent_id, and the third field is never reached (nc is unique).
     */
   private def bestCellCol(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
+    // array() of zero columns types as array<null> and the lambda's
+    // getField then fails ANALYSIS — fail loud here instead (the old join
+    // form silently returned an empty result on an empty centroid table)
+    require(cents.nonEmpty, "bestCellCol needs at least one centroid")
     val centArr = array(cents.map { case (id, v) =>
       struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
     array_max(transform(centArr, c => struct(
@@ -261,7 +251,13 @@ object SimilarityOps extends QueryPack {
     import e.sparkSession.implicits._
     val inverted = e
       .withColumn("b", bestCellCol(cents, $"embedding"))
-      .select($"b.cent_id".as("cell"), $"vec_id", $"embedding")
+      // coalesce makes the join key provably non-null: without it the inner
+      // join infers an IsNotNull(cell) filter whose predicate re-evaluates
+      // the ENTIRE argmax expression below the Project — the 16 cosine
+      // kernels would run twice per corpus row (Filter/Project don't share
+      // subexpressions). array_max only returns null on an empty array and
+      // bestCellCol requires ≥1 centroid, so -1 never appears.
+      .select(coalesce($"b.cent_id", lit(-1)).as("cell"), $"vec_id", $"embedding")
     val centsDf = cents.toDF("cent_id", "cent")
     val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val wP = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cent_id")
@@ -277,6 +273,19 @@ object SimilarityOps extends QueryPack {
       .orderBy($"q_id")
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
+    * coarse-quantize every vector to its nearest of `IvfCells` centroids
+    * (the inverted file, built once: a per-row argmax against the inline
+    * centroid literal, no shuffle of the corpus), then each query probes
+    * only its `NProbe` nearest cells. Search cost drops from O(n) per
+    * query to O(n·nprobe/cells) with recall controlled by nprobe.
+    *
+    * Centroids here are the first `IvfCells` vectors (deterministic; a
+    * production build would k-means them — the plan shape is identical).
+    * Hash-gated since round 2 (first-K centroids are deterministic, so the
+    * DuckDB oracle replays the probe plan); DedupSimSpec asserts recall vs
+    * the brute-force `sim_cosine_topk` baseline.
+    */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
