@@ -171,6 +171,36 @@ class PlanSpec extends SparkSpec {
       s"corpus re-grouped by vec_id (assignment shuffled the corpus):\n$plan")
     assert(plan.contains("hashpartitioning(q_id"),
       s"expected the per-query final argmax shuffle:\n$plan")
+    // the argmax must appear EXACTLY once: an inferred IsNotNull(cell)
+    // filter (nullable join key) or a collapsed projection would duplicate
+    // the 16-kernel expression per corpus row — cost ×2 at 100 TB. AQE's
+    // toString prints the final AND initial plans — count the final only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val evals = "array_max".r.findAllIn(finalPlan).length
+    assert(evals == 1, s"argmax evaluated $evals times (expected 1):\n$finalPlan")
+  }
+
+  test("k-means Lloyd assignment evaluates the centroid argmax once per row") {
+    // the training loop selects BOTH fields of the argmax struct (cell,
+    // csim); CollapseProject must not inline the expensive expression into
+    // each field reference — that would double every Lloyd round's scan
+    // cost. Replicates the loop's exact assignment shape on 2 centroids.
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val dim = e.select(size($"embedding")).head().getInt(0)
+    val cents = Seq((0, Seq.fill(dim)(0.1f)), (1, Seq.fill(dim)(0.2f)))
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
+    val best = array_max(transform(centArr, c => struct(
+      call_function("cosine_sim", $"embedding", c.getField("cent")).as("csim"),
+      (-c.getField("cent_id")).as("nc"),
+      c.getField("cent_id").as("cent_id"))))
+    val assigned = e.withColumn("b", best)
+      .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    val evals = "array_max".r.findAllIn(plan).length
+    assert(evals == 1, s"Lloyd argmax evaluated $evals times (expected 1):\n$plan")
   }
 
   test("funnel has no window operator: per-step min-aggregations only") {
