@@ -375,8 +375,13 @@ object SimilarityOps extends QueryPack {
         .observe(obs,
           sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double").as("inertia"))
       val refit = assigned
-        // mean DIRECTION: each vector contributes x/|v| (spherical k-means)
+        // mean DIRECTION: each vector contributes x/|v| (spherical k-means).
+        // Zero-norm embeddings (failed encoders) have no direction and are
+        // excluded — under ANSI mode x/0 would otherwise throw
+        // DIVIDE_BY_ZERO and kill the training job (KMeansSpec witnesses
+        // the zero-vector corpus).
         .withColumn("vnorm", expr("sqrt(dot_product(embedding, embedding))"))
+        .filter($"vnorm" > 0)
         .select($"cell", $"vnorm", posexplode($"embedding").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
         .agg((sum(($"x".cast("double") / $"vnorm").cast(DecimalType(28, 9))).cast("double") /

@@ -34,6 +34,34 @@ class KMeansSpec extends SparkSpec {
       s"stopped but not converged: $inertias")
   }
 
+  test("zero-norm embeddings train cleanly and never seed a centroid (NaN guard)") {
+    // failed encoders produce all-zero embeddings in real corpora; cosine
+    // distance to the zero vector is NaN, which (unguarded) wins every
+    // farthest-first comparison and poisons the whole assignment — and the
+    // refit's x/|v| would throw DIVIDE_BY_ZERO under ANSI mode (this test
+    // caught exactly that). Train on a corpus containing one zero vector:
+    // seeding must skip it, the refit must exclude it (it has no
+    // direction; it still gets ASSIGNED to a cell), Lloyd must complete,
+    // and no centroid or inertia may be non-finite.
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      val emb = if (i == 3L) Seq.fill(dim)(0.0f)
+                else Seq.fill(dim)(rnd.nextFloat() - 0.5f)
+      (i, emb, (i % 4).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_zeronorm").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (cents, inertias) = SimilarityOps.kmeansCentroids(spark, dir, k = 8, maxRounds = 3)
+    assert(cents.size == 8)
+    assert(cents.forall(_._2.forall(f => !f.isNaN && !f.isInfinite)),
+      s"non-finite centroid component: $cents")
+    assert(inertias.nonEmpty && inertias.forall(v => !v.isNaN), s"NaN inertia: $inertias")
+    assert(cents.forall(_._2.exists(_ != 0.0f)), s"a zero vector became a centroid: $cents")
+  }
+
   test("IVF over k-means centroids: nearest lands in brute-force top-3 for most queries") {
     val brute = SimilarityOps.cosineTopK(spark, sfDir)
       .select($"q_id", $"c_id").collect()
