@@ -223,12 +223,37 @@ object SimilarityOps extends QueryPack {
     * (csim, nc, cent_id) makes `array_max` reproduce `max_by`'s
     * (score, -id) ordering exactly: highest csim wins, ties go to the
     * LOWEST cent_id, and the third field is never reached (nc is unique).
+    *
+    * SIZE BOUND of the inline-literal strategy: the foldable
+    * array-of-structs is constant-folded by Catalyst into ONE
+    * `Literal(array<struct>)`, and codegen passes complex-typed literals
+    * through the references array (`CodegenContext.addReferenceObj`), not
+    * as Java source constants — so Janino's 64 KB method / constant-pool
+    * limits are NOT the binding constraint. What does grow with k·dim is
+    * the serialized plan shipped inside every task binary (~4 bytes per
+    * float, so k=16 × dim=1024 ≈ 64 KB — fine; k=4096 × dim=1024 ≈ 16 MB —
+    * not). Keep k·dim ≤ [[InlineCentroidFloatLimit]] (~4 MB of floats);
+    * above that, move the centroid table into a real Spark broadcast
+    * variable read by a custom Expression instead of a plan literal.
+    * Enforced with a require so an oversized model fails loud at plan
+    * build, not as a mysteriously slow stage.
+    *
+    * `private[graft]` so PlanSpec pins the PRODUCTION expression shape
+    * (single-eval argmax) rather than a hand-copied replica that could
+    * drift.
     */
-  private def bestCellCol(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
+  val InlineCentroidFloatLimit: Int = 1 << 20 // 1M floats ≈ 4 MB per task binary
+
+  private[graft] def bestCellCol(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
     // array() of zero columns types as array<null> and the lambda's
     // getField then fails ANALYSIS — fail loud here instead (the old join
     // form silently returned an empty result on an empty centroid table)
     require(cents.nonEmpty, "bestCellCol needs at least one centroid")
+    val floats = cents.iterator.map(_._2.size.toLong).sum
+    require(floats <= InlineCentroidFloatLimit,
+      s"centroid model has $floats floats > inline-literal bound " +
+        s"$InlineCentroidFloatLimit (~4 MB per task binary): use a broadcast " +
+        "variable + custom Expression for a model this large")
     val centArr = array(cents.map { case (id, v) =>
       struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
     array_max(transform(centArr, c => struct(
@@ -391,7 +416,14 @@ object SimilarityOps extends QueryPack {
           s => s.getField("m").cast("float")).as("cent"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toMap
-      val inertia = obs.get("inertia").asInstanceOf[Double]
+      // the observed sum is null iff ZERO rows flowed through the scan —
+      // seedCentroids already requires ≥k nonzero embeddings, but make the
+      // invariant local instead of letting a bare cast NPE obscure it
+      val inertia = obs.get("inertia") match {
+        case d: java.lang.Double => d.doubleValue()
+        case other => sys.error(
+          s"k-means round $round observed no rows (inertia=$other): empty training input")
+      }
       inertias += inertia
       converged = inertias.size >= 2 && {
         val prev = inertias(inertias.size - 2)

@@ -35,8 +35,9 @@ class DegenerateDataSpec extends SparkSpec {
 
   /** Materialize and assert every double/float column is finite. */
   private def finite(name: String, df: => DataFrame): Unit = {
-    val rows = df.collect()
-    val schema = df.schema
+    val frame = df // bind the by-name arg once: collect + schema below must
+    val rows = frame.collect() // not each re-build the operator's DataFrame
+    val schema = frame.schema
     rows.foreach { r =>
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (!r.isNullAt(i)) f.dataType.typeName match {

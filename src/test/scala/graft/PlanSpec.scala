@@ -184,18 +184,14 @@ class PlanSpec extends SparkSpec {
     // the training loop selects BOTH fields of the argmax struct (cell,
     // csim); CollapseProject must not inline the expensive expression into
     // each field reference — that would double every Lloyd round's scan
-    // cost. Replicates the loop's exact assignment shape on 2 centroids.
+    // cost. Built through the PRODUCTION bestCellCol (package-private for
+    // exactly this) so the pinned plan shape can't drift from the code.
     import org.apache.spark.sql.functions._
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val dim = e.select(size($"embedding")).head().getInt(0)
     val cents = Seq((0, Seq.fill(dim)(0.1f)), (1, Seq.fill(dim)(0.2f)))
-    val centArr = array(cents.map { case (id, v) =>
-      struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
-    val best = array_max(transform(centArr, c => struct(
-      call_function("cosine_sim", $"embedding", c.getField("cent")).as("csim"),
-      (-c.getField("cent_id")).as("nc"),
-      c.getField("cent_id").as("cent_id"))))
+    val best = graft.functions.SimilarityOps.bestCellCol(cents, $"embedding")
     val assigned = e.withColumn("b", best)
       .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
     val plan = assigned.queryExecution.executedPlan.toString
