@@ -33,14 +33,16 @@ object QueryPack {
   def decSumSql(expr: String, alias: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) AS $alias"
 
-  /** Exactness knob: `graft.sums.exact=true` (default) routes double sums
-    * through decimal — bit-reproducible across partitionings and engines,
-    * which the hash-equality correctness gate requires, at ~3x the agg
-    * cost. `false` is the plain-double deployment path (industry-standard
-    * last-ulp nondeterminism); Bench opts into it.
+  /** Exactness knob: `graft.sums.exact=true` (default under the gate
+    * profile) routes double sums through decimal — bit-reproducible across
+    * partitionings and engines, which the hash-equality correctness gate
+    * requires, at ~3x the agg cost. `false` is the plain-double deployment
+    * path (industry-standard last-ulp nondeterminism); Bench opts into it,
+    * and `graft.profile=deployment` makes it the default
+    * ([[graft.core.Profile]]).
     */
   def exactSums(spark: SparkSession): Boolean =
-    spark.conf.get("graft.sums.exact", "true").toBoolean
+    graft.core.Profile.exactKnob(spark, "graft.sums.exact")
 
   /** SUM over doubles honoring the exactness knob. */
   def decSum(spark: SparkSession)(c: Column): Column =

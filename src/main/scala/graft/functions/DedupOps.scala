@@ -301,7 +301,8 @@ object DedupOps extends QueryPack {
         a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= 0.9)
           .select($"v1", $"v2")
       } else {
-        val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = 8, planesPerTable = 4)
+        val (t, p) = SimilarityOps.bandShape(spark, "cosdedup", defTables = 8, defPlanes = 4)
+        val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = t, planesPerTable = p)
         val near = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))

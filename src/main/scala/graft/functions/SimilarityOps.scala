@@ -31,9 +31,14 @@ object SimilarityOps extends QueryPack {
   val Dim = 64
   val NPlanes = 16
   /** Wider family for the candidate-generator configs; the first `NPlanes`
-    * are the same planes `annLsh` has always used (same seeded stream).
+    * are the same planes `annLsh` has always used (same seeded stream —
+    * extending the family appends planes, it never changes existing ones,
+    * so every gate-validated config is byte-identical). 64 planes admit
+    * the 8×8 deployment shapes a clustered corpus wants
+    * (tools/ProfileCrossover.scala): more buckets per table than clusters,
+    * or Σ|bucket|² degenerates toward n².
     */
-  val NPlanesMax = 32
+  val NPlanesMax = 64
 
   /** Seeded Rademacher (±1) hyperplanes: deterministic, no data dependence. */
   lazy val hyperplanes: Seq[Seq[Float]] = {
@@ -50,7 +55,26 @@ object SimilarityOps extends QueryPack {
     * lsh_recall.py` is the measurement that picked them).
     */
   def exactSim(spark: SparkSession): Boolean =
-    spark.conf.get("graft.sim.exact", "true").toBoolean
+    graft.core.Profile.exactKnob(spark, "graft.sim.exact")
+
+  /** Corpus-tunable band shape for a banded route: `graft.sim.bands.<key>`
+    * = `"<tables>x<planes>"` (e.g. `"8x4"`). Defaults are the shapes the
+    * oracle gate has always validated (chosen for TOTAL candidate recall on
+    * the driver's near-uniform test embeddings — tools/lsh_recall.py). The
+    * knob exists because band shapes are a corpus property, not a code
+    * property: candidate volume is Θ(Σ|bucket|²), so a clustered deployment
+    * corpus wants more planes per table (smaller buckets) than the
+    * worst-case-uniform gate corpus. tools/ProfileCrossover.scala is the
+    * measurement that picks a shape for a given corpus.
+    */
+  private[graft] def bandShape(spark: SparkSession, key: String,
+      defTables: Int, defPlanes: Int): (Int, Int) = {
+    val s = spark.conf.get(s"graft.sim.bands.$key", s"${defTables}x$defPlanes")
+    s.toLowerCase.split("x") match {
+      case Array(t, p) => (t.trim.toInt, p.trim.toInt)
+      case _ => sys.error(s"graft.sim.bands.$key must be '<tables>x<planes>', got '$s'")
+    }
+  }
 
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
     * least one (table, bucket) under `nTables` tables of `planesPerTable`
@@ -167,7 +191,8 @@ object SimilarityOps extends QueryPack {
         val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2"))
         a.join(b, $"v1" < $"v2")
       } else {
-        lshCandidateIds(spark, dir, nTables = 16, planesPerTable = 2)
+        val (t, p) = bandShape(spark, "pairs", defTables = 16, defPlanes = 2)
+        lshCandidateIds(spark, dir, nTables = t, planesPerTable = p)
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
       }
@@ -199,7 +224,8 @@ object SimilarityOps extends QueryPack {
       } else {
         // per-label index: buckets pair within a label only (same coverage
         // for same-label pairs as a global index, ~|labels|× less volume)
-        val cand = lshCandidateIds(spark, dir, nTables = 32, planesPerTable = 1,
+        val (t, p) = bandShape(spark, "samelabel", defTables = 32, defPlanes = 1)
+        val cand = lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
           within = Seq("label"))
         cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
