@@ -182,6 +182,24 @@ object Relational extends QueryPack {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** SequenceFileInputFilter `PercentFilter` parity, made deterministic:
+    * the reference's percent form keeps every f-th record by key hashCode —
+    * partitioning-independent but tied to Java's hash. The engine-portable
+    * equivalent thresholds the md5 digest: lowercase hex sorts
+    * lexicographically in numeric order, so `substr(md5(key),1,2) < '1a'`
+    * keeps exactly the keys whose first digest byte is < 26, ~10.2% of
+    * records — same sample on any engine, any partitioning, any run.
+    * Reference: `src/mapred/.../SequenceFileInputFilter.java`
+    * anchor:`class PercentFilter`.
+    */
+  def samplePercent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat_ws("|", $"l_orderkey", $"l_linenumber")), 1, 2) < "1a")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** LineRecordReader offset parity (SURVEY §2.1): the reference keyed
     * every text record by byte offset — a stable record id. The
     * deterministic distributed equivalent is numbering over a total order
@@ -236,6 +254,7 @@ object Relational extends QueryPack {
     "rel_skip_bad_records" -> (skipBadRecords _),
     "rel_record_numbers" -> (recordNumbers _),
     "rel_sample_md5" -> (sampleMd5 _),
+    "rel_sample_percent" -> (samplePercent _),
     "rel_identity_scan" -> (identityScan _),
     "rel_inverse_map" -> (inverseMap _),
     "rel_regex_filter" -> (regexFilter _),
@@ -264,6 +283,10 @@ object Relational extends QueryPack {
     "rel_sample_md5" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_sample_percent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 2) < '1a'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "rel_identity_scan" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
