@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{DedupOps, TextOps}
-import org.apache.spark.sql.DataFrame
+import graft.functions.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Degenerate-corpus robustness: a 100 TB crawl certainly contains empty
   * documents, whitespace-only documents, and single-token documents — forms
@@ -69,5 +69,70 @@ class DegenerateDataSpec extends SparkSpec {
         "dedup_minhash_lsh" -> (DedupOps.minhashLsh _),
         "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard _)))
       finite(name, f(spark, dir))
+  }
+
+  test("multimodal operators complete on degenerate documents (empty payloads)") {
+    for ((name, f) <- Seq[(String, (SparkSession, String) => DataFrame)](
+        "mm_payload_stats" -> (MultimodalOps.payloadStats _),
+        "mm_frame_sample" -> (MultimodalOps.frameSample _),
+        "mm_decode_stub" -> (MultimodalOps.decodeStub _),
+        "mm_resize_meta" -> (MultimodalOps.resizeMeta _)))
+      finite(name, f(spark, dir))
+  }
+
+  /** A 100 TB embedding corpus certainly contains zero-norm vectors (failed
+    * encoders), exact duplicates, and constant vectors — the geometric
+    * degenerates the driver's random embeddings never produce.
+    */
+  private lazy val embDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_degen_emb").toString
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(SimilarityOps.Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val a = unit(); val b = unit(); val c = unit(); val e = unit()
+    val zero = Seq.fill(SimilarityOps.Dim)(0.0f)
+    val rows = Seq(
+      (0L, zero, 0),                                      // zero-norm QUERY (vec_id < 5)
+      (1L, a, 1),
+      (2L, a, 0),                                         // exact duplicate of 1
+      (3L, Seq.fill(SimilarityOps.Dim)(0.5f), 1),         // constant positive
+      (4L, b, 0),
+      (5L, a, 1),                                         // second duplicate of 1
+      (6L, Seq.fill(SimilarityOps.Dim)(-0.25f), 0),       // constant, cos = -1 vs 3
+      (7L, c, 1),
+      (8L, e, 0),
+      (9L, zero, 1))                                      // second zero-norm vector
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("similarity operators complete with finite outputs on degenerate embeddings") {
+    for ((name, f) <- Seq[(String, (SparkSession, String) => DataFrame)](
+        "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
+        "sim_ann_lsh" -> (SimilarityOps.annLsh _),
+        "sim_quantize_int8" -> (SimilarityOps.quantizeInt8 _),
+        "dedup_embedding_cosine" -> (DedupOps.embeddingCosineDedup _)))
+      finite(name, f(spark, embDir))
+    // and the dedup semantics hold on the degenerates: the three identical
+    // vectors (1, 2, 5) collapse onto canonical 1
+    val canon = DedupOps.embeddingCosineDedup(spark, embDir)
+      .filter($"vec_id".isin(1L, 2L, 5L))
+      .select($"canonical_id").collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L), s"duplicate cluster should canonicalize to 1, got $canon")
+  }
+
+  test("banded similarity routes complete with finite outputs on degenerate embeddings") {
+    spark.conf.set("graft.sim.exact", "false")
+    try {
+      for ((name, f) <- Seq[(String, (SparkSession, String) => DataFrame)](
+          "sim_pairs_threshold" -> (SimilarityOps.pairsAboveThreshold _),
+          "sim_nearest_same_label" -> (SimilarityOps.nearestSameLabel _),
+          "dedup_embedding_cosine" -> (DedupOps.embeddingCosineDedup _)))
+        finite(name, f(spark, embDir))
+    } finally spark.conf.unset("graft.sim.exact")
   }
 }
