@@ -38,13 +38,15 @@ object SimilarityOps extends QueryPack {
     * (tools/ProfileCrossover.scala): more buckets per table than clusters,
     * or Σ|bucket|² degenerates toward n².
     */
-  val NPlanesMax = 64
+  val NPlanesMax: Int = graft.expr.Hyperplanes.Max
 
-  /** Seeded Rademacher (±1) hyperplanes: deterministic, no data dependence. */
-  lazy val hyperplanes: Seq[Seq[Float]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NPlanesMax)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-  }
+  /** Seeded Rademacher (±1) hyperplanes: deterministic, no data dependence.
+    * Canonical storage is [[graft.expr.Hyperplanes]] (primitive float[][]
+    * for the `lsh_buckets` kernel); this is the Seq view the oracle-SQL
+    * generator and tools consume.
+    */
+  lazy val hyperplanes: Seq[Seq[Float]] =
+    graft.expr.Hyperplanes.planes.toSeq.map(_.toSeq)
 
   /** Exactness knob (mirrors `graft.sums.exact`): `graft.sim.exact=true`
     * (default) keeps the all-pairs exact baselines; `false` routes
@@ -95,21 +97,21 @@ object SimilarityOps extends QueryPack {
     require(nTables * planesPerTable <= NPlanesMax,
       s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
     GraftFunctions.register(spark)
-    val tableBuckets = (0 until nTables).map { t =>
-      val bucket = (0 until planesPerTable).map { p =>
-        val plane = t * planesPerTable + p
-        when(expr(s"dot_product(embedding, element_at(planes, ${plane + 1}))") > 0.0,
-          lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
+    // ALL table buckets in one native kernel call per row (`lsh_buckets`,
+    // graft.expr.LshBuckets) — the previous form composed nTables ×
+    // planesPerTable separate CASE WHEN dot_product(emb, <literal>) columns,
+    // whose per-element boxed literal access cost 275 µs/row at 8×8 (the
+    // bucketing, not the candidate join, was 95% of banded wall time;
+    // tools/TimeBanded.scala). posexplode yields (table, bucket) pairs.
+    //
     // `within` columns partition the index (e.g. per-label): buckets only
     // pair inside the same partition value, shrinking candidate volume
-    // for partition-filtered searches without touching the signatures
+    // for partition-filtered searches without touching the signatures.
     val bucketed = Tables.embeddings(spark, dir)
-      .withColumn("planes", typedLit(hyperplanes))
-      .select($"vec_id" +: within.map(col) :+ explode(array(tableBuckets: _*)).as("tb"): _*)
-    val keys = "tb" +: within
+      .select($"vec_id" +: within.map(col) :+
+        posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
+          .as(Seq("tbl", "bucket")): _*)
+    val keys = Seq("tbl", "bucket") ++ within
     bucketed.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
       .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
       .filter($"v1" < $"v2")

@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.expr.{CosineSimilarity, DotProduct}
+import graft.expr.{CosineSimilarity, DotProduct, LshBuckets}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Registers graft's native Catalyst functions.
   *
@@ -33,6 +34,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product takes 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "lsh_buckets takes (embedding, nTables, planesPerTable)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: $what must be an integer literal, got $other")
+        }
+        LshBuckets(args.head, intLit(args(1), "nTables"), intLit(args(2), "planesPerTable"))
       }))
 
   /** Idempotent registration on a live session. */

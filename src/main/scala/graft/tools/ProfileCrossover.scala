@@ -118,6 +118,17 @@ object ProfileCrossover {
             val nExact = exact.count()
             val found = exact.select($"v1", $"v2")
               .join(banded.select($"v1", $"v2"), Seq("v1", "v2"), "left_semi").count()
+            // the loose 0.4 threshold is LSH's hard case: collision
+            // probability for a pair AT the threshold is only ~0.16 per
+            // 8-plane table, so misses concentrate just above 0.4 — report
+            // recall on confident pairs (cos >= 0.6) separately to show it
+            val conf = exact.filter($"cos" >= 0.6)
+            val nConf = conf.count()
+            val foundConf = conf.select($"v1", $"v2")
+              .join(banded.select($"v1", $"v2"), Seq("v1", "v2"), "left_semi").count()
+            println(f"CROSSOVER n=$n pairs_threshold      " +
+              f"recall_conf(cos>=0.6)=${foundConf.toDouble / math.max(nConf, 1)}%.4f " +
+              f"over $nConf confident pairs")
             found.toDouble / nExact
           case "nearest_same_label" =>
             // a hit = banded's neighbor is as close as exact's (id may
