@@ -244,27 +244,28 @@ object SimilarityOps extends QueryPack {
   val IvfCells = 16
   val NProbe = 2
 
-  /** Centroids as an inline array-of-structs literal — centroids are driver
-    * model state (k rows), so embedding them in the plan lets every
-    * corpus-side consumer compute its argmin/argmax per ROW instead of
-    * exploding a (corpus × k) join and re-grouping. Field order
-    * (csim, nc, cent_id) makes `array_max` reproduce `max_by`'s
-    * (score, -id) ordering exactly: highest csim wins, ties go to the
-    * LOWEST cent_id, and the third field is never reached (nc is unique).
+  /** Per-row nearest-centroid argmax via the native [[graft.expr.BestCell]]
+    * kernel — centroids are driver model state (k rows), so shipping them
+    * inside the expression (primitive float[][] reference objects) lets
+    * every corpus-side consumer compute its argmax per ROW instead of
+    * exploding a (corpus × k) join and re-grouping. Ties go to the LOWEST
+    * cent_id (ids sorted ascending + strict `>` in the kernel — same
+    * contract as the `max_by (score, -id)` form this grew out of).
     *
-    * SIZE BOUND of the inline-literal strategy: the foldable
-    * array-of-structs is constant-folded by Catalyst into ONE
-    * `Literal(array<struct>)`, and codegen passes complex-typed literals
-    * through the references array (`CodegenContext.addReferenceObj`), not
-    * as Java source constants — so Janino's 64 KB method / constant-pool
-    * limits are NOT the binding constraint. What does grow with k·dim is
-    * the serialized plan shipped inside every task binary (~4 bytes per
-    * float, so k=16 × dim=1024 ≈ 64 KB — fine; k=4096 × dim=1024 ≈ 16 MB —
-    * not). Keep k·dim ≤ [[InlineCentroidFloatLimit]] (~4 MB of floats);
-    * above that, move the centroid table into a real Spark broadcast
-    * variable read by a custom Expression instead of a plan literal.
-    * Enforced with a require so an oversized model fails loud at plan
-    * build, not as a mysteriously slow stage.
+    * History of this column (each step measured): r5 replaced the
+    * broadcast-join + re-group corpus Exchange with an inline-literal
+    * `array_max(transform(...))`; r6 replaced THAT with the native kernel,
+    * because higher-order functions are codegen-fallback — the composed
+    * argmax evaluated 16 interpreted cosine kernels over boxed literals
+    * per corpus row, the same pathology `lsh_buckets` fixed for bucketing
+    * (SCALE.md round 6). The kernel also hoists the k centroid norms out
+    * of the per-row loop entirely.
+    *
+    * SIZE BOUND: the centroid matrix serializes into every task binary
+    * (~4 bytes/float). Keep k·dim ≤ [[InlineCentroidFloatLimit]] (~4 MB);
+    * above that, move the model into a real Spark broadcast variable read
+    * by the expression. Enforced with a require so an oversized model
+    * fails loud at plan build, not as a mysteriously slow stage.
     *
     * `private[graft]` so PlanSpec pins the PRODUCTION expression shape
     * (single-eval argmax) rather than a hand-copied replica that could
@@ -273,21 +274,19 @@ object SimilarityOps extends QueryPack {
   val InlineCentroidFloatLimit: Int = 1 << 20 // 1M floats ≈ 4 MB per task binary
 
   private[graft] def bestCellCol(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
-    // array() of zero columns types as array<null> and the lambda's
-    // getField then fails ANALYSIS — fail loud here instead (the old join
-    // form silently returned an empty result on an empty centroid table)
+    // fail loud on an empty model (the old join form silently returned an
+    // empty result on an empty centroid table)
     require(cents.nonEmpty, "bestCellCol needs at least one centroid")
     val floats = cents.iterator.map(_._2.size.toLong).sum
     require(floats <= InlineCentroidFloatLimit,
-      s"centroid model has $floats floats > inline-literal bound " +
-        s"$InlineCentroidFloatLimit (~4 MB per task binary): use a broadcast " +
-        "variable + custom Expression for a model this large")
-    val centArr = array(cents.map { case (id, v) =>
-      struct(lit(id).as("cent_id"), typedLit(v).as("cent")) }: _*)
-    array_max(transform(centArr, c => struct(
-      call_function("cosine_sim", emb, c.getField("cent")).as("csim"),
-      (-c.getField("cent_id")).as("nc"),
-      c.getField("cent_id").as("cent_id"))))
+      s"centroid model has $floats floats > task-binary bound " +
+        s"$InlineCentroidFloatLimit (~4 MB): use a broadcast " +
+        "variable-backed Expression for a model this large")
+    val sorted = cents.sortBy(_._1)
+    // model state rides as foldable literal args; the registry builder
+    // unpacks them into the kernel's primitive arrays at analysis time
+    call_function("best_cell", emb,
+      typedLit(sorted.map(_._1)), typedLit(sorted.map(_._2)))
   }
 
   /** IVF probe plan shared by the first-K and k-means centroid variants.
@@ -306,10 +305,10 @@ object SimilarityOps extends QueryPack {
       .withColumn("b", bestCellCol(cents, $"embedding"))
       // coalesce makes the join key provably non-null: without it the inner
       // join infers an IsNotNull(cell) filter whose predicate re-evaluates
-      // the ENTIRE argmax expression below the Project — the 16 cosine
-      // kernels would run twice per corpus row (Filter/Project don't share
-      // subexpressions). array_max only returns null on an empty array and
-      // bestCellCol requires ≥1 centroid, so -1 never appears.
+      // the ENTIRE argmax expression below the Project — the k-kernel
+      // argmax would run twice per corpus row (Filter/Project don't share
+      // subexpressions). best_cell is null only when the embedding itself
+      // is null (nullIntolerant), so -1 never appears on real rows.
       .select(coalesce($"b.cent_id", lit(-1)).as("cell"), $"vec_id", $"embedding")
     val centsDf = cents.toDF("cent_id", "cent")
     val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))

@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.expr.{CosineSimilarity, DotProduct, LshBuckets}
+import graft.expr.{BestCell, CosineSimilarity, DotProduct, LshBuckets}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.IntegerType
 
 /** Registers graft's native Catalyst functions.
@@ -46,6 +47,22 @@ object GraftFunctions {
             s"lsh_buckets: $what must be an integer literal, got $other")
         }
         LshBuckets(args.head, intLit(args(1), "nTables"), intLit(args(2), "planesPerTable"))
+      }),
+    (FunctionIdentifier("best_cell"),
+      new ExpressionInfo(classOf[BestCell].getName, "best_cell"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "best_cell takes (embedding, ids-literal, centroids-literal)")
+        def arrayLit(e: Expression, what: String): ArrayData = e match {
+          case Literal(a: ArrayData, _) => a
+          case other => throw new IllegalArgumentException(
+            s"best_cell: $what must be an array literal, got $other")
+        }
+        val ids = arrayLit(args(1), "ids").toIntArray
+        val centData = arrayLit(args(2), "centroids")
+        val cents = Array.tabulate(centData.numElements())(
+          i => centData.getArray(i).toFloatArray())
+        BestCell(args.head, ids, cents)
       }))
 
   /** Idempotent registration on a live session. */

@@ -176,7 +176,7 @@ class PlanSpec extends SparkSpec {
     // the 16-kernel expression per corpus row — cost ×2 at 100 TB. AQE's
     // toString prints the final AND initial plans — count the final only.
     val finalPlan = plan.split("== Initial Plan ==").head
-    val evals = "array_max".r.findAllIn(finalPlan).length
+    val evals = "best_cell".r.findAllIn(finalPlan).length
     assert(evals == 1, s"argmax evaluated $evals times (expected 1):\n$finalPlan")
   }
 
@@ -195,7 +195,7 @@ class PlanSpec extends SparkSpec {
     val assigned = e.withColumn("b", best)
       .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
     val plan = assigned.queryExecution.executedPlan.toString
-    val evals = "array_max".r.findAllIn(plan).length
+    val evals = "best_cell".r.findAllIn(plan).length
     assert(evals == 1, s"Lloyd argmax evaluated $evals times (expected 1):\n$plan")
   }
 
