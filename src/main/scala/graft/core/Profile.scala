@@ -19,11 +19,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Resolution order, per knob: an EXPLICIT `graft.sums.exact` /
   * `graft.sim.exact` setting always wins; otherwise the profile supplies
-  * the default (`gate` → both true, `deployment` → both false). So the
-  * driver's correctness gate — which sets neither knob nor profile — is
-  * byte-for-byte unchanged, and a production session opts into the scale
-  * posture with the single line `spark.conf.set("graft.profile",
-  * "deployment")`.
+  * the default (`gate` → both true, `deployment` → both false). The
+  * driver's correctness gate never sets the profile (Verify pins
+  * `graft.sim.exact` explicitly so the banded matrix legs can flip it;
+  * `graft.sums.exact` resolves through the gate default), so gate results
+  * are independent of profile resolution, and a production session opts
+  * into the scale posture with the single line
+  * `spark.conf.set("graft.profile", "deployment")`.
   *
   * Band shapes (`graft.sim.bands.*`) are deliberately NOT profile-driven:
   * they are a corpus property (see [[graft.functions.SimilarityOps.bandShape]]),

@@ -53,6 +53,9 @@ case class LshBuckets(child: Expression, nTables: Int, planesPerTable: Int)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != Hyperplanes.Dim)
+      throw new IllegalArgumentException(
+        s"lsh_buckets: embedding dim ${x.numElements()} != plane dim ${Hyperplanes.Dim}")
     val planes = Hyperplanes.planes
     val out = new Array[Int](nTables)
     var t = 0
@@ -60,9 +63,6 @@ case class LshBuckets(child: Expression, nTables: Int, planesPerTable: Int)
       var b = 0; var p = 0
       while (p < planesPerTable) {
         val pl = planes(t * planesPerTable + p)
-        if (x.numElements() != pl.length)
-          throw new IllegalArgumentException(
-            s"lsh_buckets: embedding dim ${x.numElements()} != plane dim ${pl.length}")
         var dot = 0.0; var i = 0
         while (i < pl.length) { dot += x.getFloat(i).toDouble * pl(i); i += 1 }
         if (dot > 0.0) b |= 1 << p
@@ -85,15 +85,15 @@ case class LshBuckets(child: Expression, nTables: Int, planesPerTable: Int)
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
+         |if ($x.numElements() != ${Hyperplanes.Dim}) {
+         |  throw new IllegalArgumentException("lsh_buckets: embedding dim "
+         |    + $x.numElements() + " != plane dim " + ${Hyperplanes.Dim});
+         |}
          |int[] $out = new int[$nTables];
          |for (int $t = 0; $t < $nTables; $t++) {
          |  int $b = 0;
          |  for (int $p = 0; $p < $planesPerTable; $p++) {
          |    final float[] $pl = $planesRef[$t * $planesPerTable + $p];
-         |    if ($x.numElements() != $pl.length) {
-         |      throw new IllegalArgumentException("lsh_buckets: embedding dim "
-         |        + $x.numElements() + " != plane dim " + $pl.length);
-         |    }
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $pl.length; $i++) {
          |      $dot += (double) $x.getFloat($i) * (double) $pl[$i];

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps extends QueryPack {
 
-  val Dim = 64
+  /** Embedding dimension — aliased to the plane family's so a change to
+    * either is a change to both (a mismatch is a per-row runtime throw). */
+  val Dim: Int = graft.expr.Hyperplanes.Dim
   val NPlanes = 16
   /** Wider family for the candidate-generator configs; the first `NPlanes`
     * are the same planes `annLsh` has always used (same seeded stream —

@@ -58,10 +58,10 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"best_cell: $what must be an array literal, got $other")
         }
-        val ids = arrayLit(args(1), "ids").toIntArray
+        val ids = arrayLit(args(1), "ids").toIntArray.toSeq
         val centData = arrayLit(args(2), "centroids")
-        val cents = Array.tabulate(centData.numElements())(
-          i => centData.getArray(i).toFloatArray())
+        val cents = Seq.tabulate(centData.numElements())(
+          i => centData.getArray(i).toFloatArray().toSeq)
         BestCell(args.head, ids, cents)
       }))
 

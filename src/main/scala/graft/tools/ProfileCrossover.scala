@@ -18,20 +18,23 @@ import org.apache.spark.sql.functions._
   * count and A/Bs exact vs banded for the three knobbed queries, reporting
   * wall time AND recall against the exact answer.
   *
-  * Corpus: `n` vectors, 85% in ~n/50 clusters (unit center + σ=0.035
-  * Gaussian noise, re-normalized → intra-cluster cosine ≈ 0.93, above both
+  * Corpus: `n` vectors, 85% in ~n/50 clusters (unit center + σ=0.025
+  * Gaussian noise, re-normalized → intra-cluster cosine ≈ 0.96, above both
   * the 0.9 dedup and 0.4 pairs thresholds), 15% uniform background
   * (pairwise cosine ~N(0, 1/64): mostly isolated, occasional borderline
   * pairs — the hard tail for LSH). Labels = cluster mod 8, so same-label
-  * search stays a quarter-corpus problem, not a per-cluster one.
+  * search stays an eighth-corpus problem, not a per-cluster one.
   *
-  * Banded shape under test: 8 tables × 4 planes (the `cosdedup` gate
-  * default, applied to all three routes via `graft.sim.bands.*`). At
-  * intra-cluster cosine 0.93 a 4-bit table collides with p≈0.59, so 8
-  * tables give candidate recall 1-(1-0.59)^8 ≈ 0.999 for clustered pairs;
-  * what banded genuinely misses is background pairs near the 0.4 threshold
-  * (p≈0.16/table) and the same-label nearest of ISOLATED vectors — the
-  * recall numbers below price that honestly.
+  * Banded shape under test: 8 tables × 8 planes (256 buckets per table,
+  * applied to all three routes via `graft.sim.bands.*`). At intra-cluster
+  * cosine 0.96 an 8-bit table collides with p≈0.47, so 8 tables give
+  * candidate recall 1-(1-0.47)^8 ≈ 0.994 for clustered pairs; what banded
+  * genuinely misses is background pairs near the 0.4 threshold
+  * (p≈0.03/table at 8 bits) and the same-label nearest of ISOLATED
+  * vectors — the recall numbers below price that honestly. The first
+  * measured shape (8×4 = 16 buckets/table) packed ~25 clusters per bucket
+  * and LOST to exact despite high recall — bucket count must exceed
+  * cluster count (SCALE.md round 6).
   *
   * Fairness: exact gets a 64 MB broadcast threshold so its all-pairs join
   * broadcasts the full corpus instead of degrading to a partitioned

@@ -125,6 +125,25 @@ class DegenerateDataSpec extends SparkSpec {
     assert(canon == Set(1L), s"duplicate cluster should canonicalize to 1, got $canon")
   }
 
+  test("best_cell assigns NaN-poisoned embeddings to the lowest centroid, never a phantom cell") {
+    // a NaN float in an embedding makes every cosine NaN; Spark's ordering
+    // treats NaN as greatest, so the argmax must keep the LOWEST cent_id —
+    // a strict > would return the -1 sentinel and silently drop the vector
+    // from the IVF index (and create a phantom refit group in k-means)
+    graft.plans.GraftFunctions.register(spark)
+    val cents = Seq(
+      (3, Seq.fill(SimilarityOps.Dim)(0.1f)),
+      (7, Seq.fill(SimilarityOps.Dim)(0.2f)))
+    val df = Seq(
+      (0L, Seq.fill(SimilarityOps.Dim)(Float.NaN)),
+      (1L, Seq.fill(SimilarityOps.Dim)(0.5f))).toDF("vec_id", "embedding")
+    val out = df.withColumn("b", SimilarityOps.bestCellCol(cents, $"embedding"))
+      .select($"vec_id", $"b.cent_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(0L) == 3, s"NaN embedding must land in the lowest cell, got ${out(0L)}")
+    assert(Set(3, 7).contains(out(1L)))
+  }
+
   test("banded similarity routes complete with finite outputs on degenerate embeddings") {
     spark.conf.set("graft.sim.exact", "false")
     try {

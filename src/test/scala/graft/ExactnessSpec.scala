@@ -58,8 +58,9 @@ class ExactnessSpec extends SparkSpec {
   }
 
   test("ann_lsh unchanged by the wider hyperplane family (first 16 planes identical)") {
-    // hyperplanes grew 16 → 32 for the candidate configs; annLsh still uses
-    // the first 16, which come from the same seeded stream prefix
+    // the plane family has grown twice (16 → 32 for the candidate configs,
+    // 32 → 64 for the r6 crossover shapes); annLsh still uses the first 16,
+    // which come from the same seeded stream prefix
     val planes = SimilarityOps.hyperplanes
     assert(planes.size == SimilarityOps.NPlanesMax)
     val rnd = new scala.util.Random(42)
