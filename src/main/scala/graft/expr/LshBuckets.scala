@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   */
 object Hyperplanes {
   val Dim = 64
-  val Max = 64
+  val Max = 128 // 64→128 in r6: admits 8×10+ shapes for 100k+-cluster corpora
   lazy val planes: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(Max)(Array.fill(Dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))

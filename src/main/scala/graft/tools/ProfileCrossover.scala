@@ -50,13 +50,16 @@ object ProfileCrossover {
   val BgFrac = 0.15
   val ClusterSize = 50
   val NLabels = 8
-  /** 8 tables × 8 planes: 256 buckets per table — the first measured shape
-    * (8×4 = 16 buckets/table) packed ~25 clusters into every bucket, making
-    * Σ|bucket|² comparable to n² and banded 4–5× SLOWER than exact despite
-    * 0.95+ recall. The lesson is now codified in [[SimilarityOps.bandShape]]:
-    * bucket count must exceed cluster count.
+  /** Default 8 tables × 8 planes: 256 buckets per table — the first
+    * measured shape (8×4 = 16 buckets/table) packed ~25 clusters into
+    * every bucket, making Σ|bucket|² comparable to n² and banded 4–5×
+    * SLOWER than exact despite 0.95+ recall. The lesson is now codified in
+    * [[SimilarityOps.bandShape]]: bucket count must exceed cluster count —
+    * and since cluster count grows with n, override via
+    * SPARK_GRAFT_CROSSOVER_BANDS to re-measure at corpus-matched shapes
+    * (e.g. 8x10 = 1024 buckets for the ~2000-cluster 100k corpus).
     */
-  val Bands = "8x8"
+  val Bands: String = sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x8")
 
   def generate(spark: SparkSession, n: Int, seed: Int = 7): String = {
     import spark.implicits._
