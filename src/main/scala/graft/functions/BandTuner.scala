@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.plans.GraftFunctions
+
+/** What [[BandTuner.suggest]] returns: a band shape for
+  * `graft.sim.bands.<key>` plus the numbers that justify it.
+  *
+  * `candidateFraction` is the estimated banded candidate volume as a
+  * fraction of the exact all-pairs volume (Σ|bucket|² / C(n,2), union
+  * bound over tables); `predictedSpeedup` is its reciprocal — the
+  * candidate-volume reduction, which is the dominant cost ratio at scale.
+  * The model deliberately ignores the Θ(n) bucketing pass and the
+  * per-candidate verify constant; the `minSpeedup` margin in `suggest`
+  * absorbs them (measured at 100k vectors: a predicted ~8× candidate
+  * reduction realized 4.8–20.9× wall-clock — SCALE.md round 6).
+  */
+final case class BandShapeAdvice(
+    nTables: Int,
+    planesPerTable: Int,
+    predictedRecall: Double,
+    corpusVectors: Long,
+    sampledVectors: Long,
+    candidateFraction: Double,
+    predictedSpeedup: Double,
+    recommendBanded: Boolean) {
+  /** The `graft.sim.bands.<key>` value this advice corresponds to. */
+  def shape: String = s"${nTables}x$planesPerTable"
+}
+
+/** In-engine band-shape advisor — SCALE.md round 6's closing rule ("band
+  * shapes are not a constant but a function of corpus statistics") made
+  * executable. `tools/ProfileCrossover.scala` is the offline measurement
+  * that validated the rule; this is the cheap online form a deployment
+  * runs against its own corpus before flipping `graft.sim.exact=false`.
+  *
+  * Two ingredients, both principled rather than heuristic:
+  *
+  *  1. **Recall is analytic.** Sign-random-projection LSH obeys the
+  *     Charikar collision law — one hyperplane separates a pair at angle
+  *     θ with probability θ/π — so banded candidate recall at a given
+  *     cosine needs no data at all ([[BandTuner.pairRecall]]). The planes
+  *     count is chosen as the most aggressive (smallest-bucket) value
+  *     whose predicted recall at the caller's threshold still clears the
+  *     floor. This is why the near-uniform gate corpus correctly gets
+  *     "stay exact": a loose threshold caps planes so low that buckets
+  *     stay fat.
+  *  2. **Cost is sampled.** Candidate volume Θ(Σ|bucket|²) depends on the
+  *     corpus's cluster structure, which no formula knows. But bucket
+  *     assignment is per-row deterministic (no interaction between rows),
+  *     so a uniform sample's candidate FRACTION — Σ|bucket|² over the
+  *     sample's own pair count — is an unbiased estimate of the corpus's.
+  *     A bounded md5-ordered sample (TakeOrdered, no full sort) prices
+  *     the shape in one sub-second pass regardless of corpus size.
+  *
+  * The mass estimate is a union bound (a pair colliding in several tables
+  * is counted once per table), so it OVERESTIMATES candidate volume —
+  * banded is only recommended when even the pessimistic number wins.
+  */
+object BandTuner {
+
+  /** P[one `planes`-bit table collides] for a pair at cosine `cos` —
+    * (1 − θ/π)^planes, θ = acos(cos). The seeded Rademacher family
+    * ([[graft.expr.Hyperplanes]]) tracks this rotation-invariant law
+    * closely at Dim=64: SCALE.md round 6's measured recall tables sit
+    * within ~a point of the model's predictions.
+    */
+  def tableCollision(cos: Double, planes: Int): Double = {
+    val c = math.max(-1.0, math.min(1.0, cos))
+    math.pow(1.0 - math.acos(c) / math.Pi, planes)
+  }
+
+  /** Candidate recall of `tables` OR-ed tables for a pair at cosine `cos`:
+    * 1 − (1 − tableCollision)^tables.
+    */
+  def pairRecall(cos: Double, tables: Int, planes: Int): Double =
+    1.0 - math.pow(1.0 - tableCollision(cos, planes), tables)
+
+  /** Advise a band shape for a corpus: the most aggressive planes count
+    * meeting `recallFloor` at `threshold`, priced on an md5-deterministic
+    * `sampleCap`-vector sample, recommended only if the (conservative)
+    * predicted candidate reduction clears `minSpeedup`.
+    *
+    * `threshold` is the cosine the caller cares about: the pair threshold
+    * for `sim_pairs_threshold`/`dedup_embedding_cosine`, or the cosine at
+    * which top-1 neighbors typically sit for `sim_nearest_same_label`.
+    */
+  def suggest(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double,
+      nTables: Int = 8,
+      recallFloor: Double = 0.9,
+      minSpeedup: Double = 3.0,
+      sampleCap: Int = 10000): BandShapeAdvice = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be a non-degenerate cosine, got $threshold")
+    require(nTables > 0 && nTables <= graft.expr.Hyperplanes.Max,
+      s"nTables must be in [1, ${graft.expr.Hyperplanes.Max}], got $nTables")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    // recall is monotone decreasing in planes → largest qualifying value
+    val pCap = math.min(30, graft.expr.Hyperplanes.Max / nTables)
+    val planes = (pCap to 1 by -1)
+      .find(p => pairRecall(threshold, nTables, p) >= recallFloor)
+      .getOrElse(1)
+
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val n = e.count()
+    val sample = e.orderBy(md5($"vec_id".cast("string"))).limit(sampleCap)
+      .select($"embedding").persist()
+    try {
+      val s = sample.count()
+      val exactPairs = s.toDouble * (s - 1) / 2
+      val mass =
+        if (s < 2) 0.0
+        else sample
+          .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
+            .as(Seq("tbl", "bucket")))
+          .groupBy($"tbl", $"bucket").count()
+          .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
+          .head.getLong(0) / 2.0
+      val frac =
+        if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
+      val speedup =
+        if (frac <= 0.0) Double.PositiveInfinity else 1.0 / frac
+      BandShapeAdvice(
+        nTables = nTables,
+        planesPerTable = planes,
+        predictedRecall = pairRecall(threshold, nTables, planes),
+        corpusVectors = n,
+        sampledVectors = s,
+        candidateFraction = frac,
+        predictedSpeedup = speedup,
+        recommendBanded = speedup >= minSpeedup)
+    } finally {
+      sample.unpersist()
+      ()
+    }
+  }
+}

@@ -69,7 +69,9 @@ object SimilarityOps extends QueryPack {
     * property: candidate volume is Θ(Σ|bucket|²), so a clustered deployment
     * corpus wants more planes per table (smaller buckets) than the
     * worst-case-uniform gate corpus. tools/ProfileCrossover.scala is the
-    * measurement that picks a shape for a given corpus.
+    * offline measurement that validates a shape for a given corpus;
+    * [[graft.functions.BandTuner.suggest]] is the cheap online advisor
+    * (analytic recall + sampled Σ|bucket|²) a deployment consults first.
     */
   private[graft] def bandShape(spark: SparkSession, key: String,
       defTables: Int, defPlanes: Int): (Int, Int) = {

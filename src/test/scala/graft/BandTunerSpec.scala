@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.BandTuner
+import graft.tools.ProfileCrossover
+
+/** The band-shape advisor must reproduce both halves of the measured
+  * crossover story (SCALE.md round 6): a clustered corpus at a tight
+  * threshold gets an aggressive banded shape with a large predicted win,
+  * and the near-uniform gate corpus at the loose 0.4 threshold gets
+  * "stay exact" — the recall floor caps planes so low that buckets stay
+  * fat and the candidate fraction approaches 1.
+  */
+class BandTunerSpec extends SparkSpec {
+
+  test("the collision model is the Charikar law: exact at the pole, monotone both ways") {
+    assert(math.abs(BandTuner.pairRecall(1.0, 8, 8) - 1.0) < 1e-9)
+    val byPlanes = (1 to 12).map(BandTuner.pairRecall(0.9, 8, _))
+    assert(byPlanes == byPlanes.sorted.reverse,
+      "recall must fall as planes sharpen buckets")
+    val byTables = (1 to 12).map(BandTuner.pairRecall(0.9, _, 8))
+    assert(byTables == byTables.sorted,
+      "recall must rise with more OR-ed tables")
+  }
+
+  test("clustered corpus, tight threshold: banded recommended at an aggressive shape") {
+    val dir = ProfileCrossover.generate(spark, 2000)
+    val a = BandTuner.suggest(spark, dir, threshold = 0.9)
+    assert(a.recommendBanded, s"expected banded on a clustered corpus: $a")
+    assert(a.planesPerTable >= 6, s"expected small buckets at threshold 0.9: $a")
+    assert(a.predictedRecall >= 0.9, s"floor must hold at the threshold: $a")
+    assert(a.predictedSpeedup >= 3.0, s"clusters must price well below n²: $a")
+    assert(a.sampledVectors == 2000 && a.corpusVectors == 2000)
+  }
+
+  test("near-uniform gate corpus, loose threshold: stay exact") {
+    val a = BandTuner.suggest(spark, sfDir, threshold = 0.4)
+    assert(!a.recommendBanded,
+      s"LSH cannot win on a near-uniform corpus at a loose threshold: $a")
+    assert(a.predictedRecall >= 0.9, s"the floor still binds the shape tried: $a")
+  }
+
+  test("advice is deterministic") {
+    val dir = ProfileCrossover.generate(spark, 2000)
+    val a1 = BandTuner.suggest(spark, dir, threshold = 0.9)
+    val a2 = BandTuner.suggest(spark, dir, threshold = 0.9)
+    assert(a1 == a2)
+  }
+}
