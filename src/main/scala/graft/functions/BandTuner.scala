@@ -84,9 +84,16 @@ object BandTuner {
     * `sampleCap`-vector sample, recommended only if the (conservative)
     * predicted candidate reduction clears `minSpeedup`.
     *
-    * `threshold` is the cosine the caller cares about: the pair threshold
-    * for `sim_pairs_threshold`/`dedup_embedding_cosine`, or the cosine at
-    * which top-1 neighbors typically sit for `sim_nearest_same_label`.
+    * `threshold` is the cosine at which the pairs the caller must not
+    * miss actually SIT — not the verify filter. Near-dups concentrate far
+    * above any loose mining filter (the crossover corpus's dups sit at
+    * ≈0.96 while `sim_pairs_threshold` filters at 0.4), and corpus recall
+    * is averaged over that concentrated distribution, not the worst-case
+    * boundary: the model's pairRecall(0.96, 8, 10) = 0.980 against 0.982
+    * measured at 8×10 on the 100k corpus, while literal boundary pairs at
+    * 0.6 would only be found 22% of the time (SCALE.md round 6 — "LSH
+    * physics, not a tunable"). Pass the filter value itself and the
+    * advisor prices worst-case pairs and conservatively answers exact.
     */
   def suggest(
       spark: SparkSession,
