@@ -117,11 +117,19 @@ object BandTuner {
       .getOrElse(1)
 
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val n = e.count()
-    val sample = e.orderBy(md5($"vec_id".cast("string"))).limit(sampleCap)
+    // corpusVectors rides the sample's own scan as an observed metric
+    // (TakeOrdered sees every row) — one corpus pass total, not a second
+    // count() scan; same one-pass pattern as the k-means inertia metric.
+    val obs = org.apache.spark.sql.Observation()
+    val sample = e.observe(obs, count(lit(1)).as("n"))
+      .orderBy(md5($"vec_id".cast("string"))).limit(sampleCap)
       .select($"embedding").persist()
     try {
       val s = sample.count()
+      val n = obs.get("n") match {
+        case c: java.lang.Long => c.longValue()
+        case other => sys.error(s"corpus count metric came back as $other")
+      }
       val exactPairs = s.toDouble * (s - 1) / 2
       val mass =
         if (s < 2) 0.0
@@ -143,7 +151,12 @@ object BandTuner {
         sampledVectors = s,
         candidateFraction = frac,
         predictedSpeedup = speedup,
-        recommendBanded = speedup >= minSpeedup)
+        // the floor re-check matters on the getOrElse(1) fallback: when no
+        // planes count reaches the floor (few tables, or a threshold near
+        // the -1 pole), the shape tried must not be recommended however
+        // well it prices
+        recommendBanded = speedup >= minSpeedup &&
+          pairRecall(threshold, nTables, planes) >= recallFloor)
     } finally {
       sample.unpersist()
       ()

@@ -25,16 +25,20 @@ import org.apache.spark.sql.functions._
   * pairs — the hard tail for LSH). Labels = cluster mod 8, so same-label
   * search stays an eighth-corpus problem, not a per-cluster one.
   *
-  * Banded shape under test: 8 tables × 8 planes (256 buckets per table,
-  * applied to all three routes via `graft.sim.bands.*`). At intra-cluster
-  * cosine 0.96 an 8-bit table collides with p≈0.47, so 8 tables give
-  * candidate recall 1-(1-0.47)^8 ≈ 0.994 for clustered pairs; what banded
-  * genuinely misses is background pairs near the 0.4 threshold
+  * Banded shape under test: [[Bands]] (default 8 tables × 8 planes = 256
+  * buckets per table, overridable via SPARK_GRAFT_CROSSOVER_BANDS; applied
+  * to all three routes via `graft.sim.bands.*`). At the default, intra-
+  * cluster cosine 0.96 gives an 8-bit table collision of p≈0.47, so 8
+  * tables give candidate recall 1-(1-0.47)^8 ≈ 0.994 for clustered pairs;
+  * what banded genuinely misses is background pairs near the 0.4 threshold
   * (p≈0.03/table at 8 bits) and the same-label nearest of ISOLATED
   * vectors — the recall numbers below price that honestly. The first
   * measured shape (8×4 = 16 buckets/table) packed ~25 clusters per bucket
   * and LOST to exact despite high recall — bucket count must exceed
-  * cluster count (SCALE.md round 6).
+  * cluster count, which is why the shape is an env knob: re-measure at a
+  * corpus-matched shape as n (and with it cluster count) grows
+  * (SCALE.md round 6; [[graft.functions.BandTuner]] is the in-engine
+  * advisor built on the same arithmetic).
   *
   * Fairness: exact gets a 64 MB broadcast threshold so its all-pairs join
   * broadcasts the full corpus instead of degrading to a partitioned
@@ -58,8 +62,19 @@ object ProfileCrossover {
     * and since cluster count grows with n, override via
     * SPARK_GRAFT_CROSSOVER_BANDS to re-measure at corpus-matched shapes
     * (e.g. 8x10 = 1024 buckets for the ~2000-cluster 100k corpus).
+    * Parsed eagerly so a malformed value fails at startup, not after the
+    * expensive exact measurement pass.
     */
-  val Bands: String = sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x8")
+  val Bands: String = {
+    val s = sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x8")
+    s.toLowerCase.split("x").map(t => scala.util.Try(t.trim.toInt)) match {
+      case Array(scala.util.Success(t), scala.util.Success(p))
+          if t > 0 && p > 0 && t * p <= graft.expr.Hyperplanes.Max => s
+      case _ => sys.error(
+        s"SPARK_GRAFT_CROSSOVER_BANDS must be '<tables>x<planes>' with " +
+          s"tables*planes <= ${graft.expr.Hyperplanes.Max}, got '$s'")
+    }
+  }
 
   def generate(spark: SparkSession, n: Int, seed: Int = 7): String = {
     import spark.implicits._

@@ -39,6 +39,18 @@ class BandTunerSpec extends SparkSpec {
     assert(a.predictedRecall >= 0.9, s"the floor still binds the shape tried: $a")
   }
 
+  test("an unreachable recall floor is never recommended, however well it prices") {
+    val dir = ProfileCrossover.generate(spark, 2000)
+    // one table can't clear 0.99 at threshold 0.9 (single-plane collision
+    // is 0.856) — the getOrElse(1) fallback shape must come back
+    // recommendBanded=false even if the sampled cost looks good
+    val a = BandTuner.suggest(spark, dir, threshold = 0.9, nTables = 1,
+      recallFloor = 0.99)
+    assert(a.planesPerTable == 1, s"expected the fallback shape: $a")
+    assert(a.predictedRecall < 0.99, s"floor must be reported unmet: $a")
+    assert(!a.recommendBanded, s"unmet floor must veto the recommendation: $a")
+  }
+
   test("advice is deterministic") {
     val dir = ProfileCrossover.generate(spark, 2000)
     val a1 = BandTuner.suggest(spark, dir, threshold = 0.9)
