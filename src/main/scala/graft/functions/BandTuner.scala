@@ -162,4 +162,88 @@ object BandTuner {
       ()
     }
   }
+
+  /** P[one `rows`-row MinHash band matches] for a pair at Jaccard `j` is
+    * j^rows (each row agrees with probability j, independently); recall
+    * over `bands` OR-ed bands is 1 − (1 − j^rows)^bands. The document-side
+    * twin of [[pairRecall]] — the gate's 8×2 shape gives 0.90 at the
+    * `dedup_minhash_lsh` threshold j = 0.5, and ≈1 for the planted
+    * near-dups (j ≥ 0.8), matching DedupSimSpec's total-recall finding.
+    */
+  def minhashBandRecall(jaccard: Double, bands: Int, rows: Int): Double = {
+    val j = math.max(0.0, math.min(1.0, jaccard))
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+  }
+
+  /** Advise a MinHash band shape (`graft.sim.bands.minhash` value) for a
+    * document corpus: the sharpest rows-per-band meeting `recallFloor` at
+    * Jaccard `jaccard` within `hashBudget` total min-hashes, priced by
+    * bucketing a deterministic document sample through the REAL pipeline
+    * (shared shingling/signature/banding code with the candidate path).
+    * As with [[suggest]], `jaccard` means "where the pairs you must not
+    * miss sit" — near-dups concentrate well above the verify threshold.
+    *
+    * In the returned advice, `nTables` is bands and `planesPerTable` is
+    * rows per band (`shape` prints `"<bands>x<rows>"`, the knob format).
+    */
+  def suggestMinhash(
+      spark: SparkSession,
+      dir: String,
+      jaccard: Double,
+      hashBudget: Int = 16,
+      recallFloor: Double = 0.9,
+      minSpeedup: Double = 3.0,
+      sampleCap: Int = 10000): BandShapeAdvice = {
+    require(jaccard > 0.0 && jaccard < 1.0,
+      s"jaccard must be a non-degenerate similarity, got $jaccard")
+    require(hashBudget > 0, s"hashBudget must be positive, got $hashBudget")
+    import spark.implicits._
+
+    // recall falls as rows sharpen bands (and the budget buys fewer of
+    // them) → largest qualifying value, like the planes search in suggest
+    val rows = (hashBudget to 1 by -1)
+      .find(r => minhashBandRecall(jaccard, hashBudget / r, r) >= recallFloor)
+      .getOrElse(1)
+    val bands = hashBudget / rows
+
+    val obs = org.apache.spark.sql.Observation()
+    val sample = Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .observe(obs, count(lit(1)).as("n"))
+      .orderBy(md5($"doc_id".cast("string"))).limit(sampleCap)
+      .persist()
+    try {
+      val s = sample.count()
+      val n = obs.get("n") match {
+        case c: java.lang.Long => c.longValue()
+        case other => sys.error(s"corpus count metric came back as $other")
+      }
+      val exactPairs = s.toDouble * (s - 1) / 2
+      val mass =
+        if (s < 2) 0.0
+        else DedupOps.bandBuckets(
+            DedupOps.minhashSignatures(DedupOps.shingledOf(sample), bands * rows),
+            bands, rows)
+          .groupBy($"bb").count()
+          .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
+          .head.getLong(0) / 2.0
+      val frac =
+        if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
+      val speedup =
+        if (frac <= 0.0) Double.PositiveInfinity else 1.0 / frac
+      val recall = minhashBandRecall(jaccard, bands, rows)
+      BandShapeAdvice(
+        nTables = bands,
+        planesPerTable = rows,
+        predictedRecall = recall,
+        corpusVectors = n,
+        sampledVectors = s,
+        candidateFraction = frac,
+        predictedSpeedup = speedup,
+        recommendBanded = speedup >= minSpeedup && recall >= recallFloor)
+    } finally {
+      sample.unpersist()
+      ()
+    }
+  }
 }

@@ -37,17 +37,20 @@ object DedupOps extends QueryPack {
   private[functions] def contentSha: Column = sha2(normText, 256)
 
   /** doc_id → 3-token shingles (exploded, WITH duplicates — narrow, no
-    * shuffle). Callers that need set semantics apply `.distinct()` on the
-    * (much smaller) slice they actually need.
+    * shuffle) for any frame with (doc_id, text). Shared with
+    * [[BandTuner.suggestMinhash]]'s cost sample so the priced shingling is
+    * the deployed shingling. Callers that need set semantics apply
+    * `.distinct()` on the (much smaller) slice they actually need.
     */
-  private def shingledRaw(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", split(normText, " ").as("toks"))
-      .select($"doc_id", explode(transform(
-        sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
-        i => concat_ws(" ", slice($"toks", i, lit(3))))).as("shingle"))
-  }
+  private[functions] def shingledOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(normText, " ").as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - lit(2), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingle"))
+
+  private def shingledRaw(spark: SparkSession, dir: String): DataFrame =
+    shingledOf(Tables.documents(spark, dir))
 
   /** doc_id → distinct 3-token shingles (exploded). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -99,25 +102,50 @@ object DedupOps extends QueryPack {
   }
 
   val NumHashes = 16
-  val BandRows = 2 // 8 bands x 2 rows
+  val BandRows = 2 // gate shape: 8 bands x 2 rows
 
-  /** MinHash signatures mh_0..mh_15. Each shingle STRING is hashed once
-    * (xxhash64); the 16 hash functions re-hash that single long with the
+  /** Runtime MinHash band shape, `graft.sim.bands.minhash` =
+    * `"<bands>x<rows>"` (default the gate's 8x2) — the document-side twin
+    * of the embedding family's corpus-tunable shapes, resolved through the
+    * same knob machinery. Rows per band trade recall for pruning exactly
+    * like planes per table (band match probability is j^rows); the gate
+    * never sets the knob, and the oracle is shape-independent (exact
+    * Jaccard over the emitted pairs), so any recall-total shape
+    * hash-matches. [[BandTuner.suggestMinhash]] picks a shape for a corpus.
+    */
+  private[graft] def minhashShape(spark: SparkSession): (Int, Int) =
+    SimilarityOps.bandShape(spark, "minhash", defTables = 8, defPlanes = 2)
+
+  /** MinHash signatures mh_0..mh_{n-1}. Each shingle STRING is hashed once
+    * (xxhash64); the n hash functions re-hash that single long with the
     * function index — a fixed-width long hash is far cheaper than hashing
-    * the variable-length string 16×, and unlike a linear h1+i·h2 family the
+    * the variable-length string n×, and unlike a linear h1+i·h2 family the
     * re-hash keeps the functions independent across LSH bands (a linear
     * family measurably lost recall on the planted pairs).
     * `min` is duplicate-insensitive, so this consumes the RAW shingle
     * stream: the aggregation is fully map-combinable (partial min per
-    * partition), and the only corpus-wide shuffle moves ~1 row × 16 longs
+    * partition), and the only corpus-wide shuffle moves ~1 row × n longs
     * per (doc, partition), not the exploded shingles.
     */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
+  private[functions] def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val h = xxhash64(col("shingle"))
-    val aggs = (0 until NumHashes).map { i =>
+    val aggs = (0 until numHashes).map { i =>
       min(xxhash64(h, lit(i))).as(s"mh_$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, bb) band-bucket memberships from a signature frame: band b's
+    * bucket is the hash of its `rows` consecutive min-hashes. Shared by the
+    * candidate path and [[BandTuner.suggestMinhash]]'s cost sample so the
+    * priced bucketing is the deployed bucketing.
+    */
+  private[functions] def bandBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
   }
 
   /** MinHash+LSH near-dup: band-bucket candidates, exact-verify, emit pairs
@@ -165,13 +193,9 @@ object DedupOps extends QueryPack {
     */
   private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSignatures(shingledRaw(spark, dir))
-    val bandCols = (0 until NumHashes / BandRows).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*).as("bh"))
-    }
-    sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+    val (bands, rows) = minhashShape(spark)
+    val sigs = minhashSignatures(shingledRaw(spark, dir), bands * rows)
+    bandBuckets(sigs, bands, rows)
       .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
       .filter(size($"docs") > 1)
       .select(explode($"docs").as("d1"), $"docs")

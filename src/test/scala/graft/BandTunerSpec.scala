@@ -51,6 +51,21 @@ class BandTunerSpec extends SparkSpec {
     assert(!a.recommendBanded, s"unmet floor must veto the recommendation: $a")
   }
 
+  test("minhash model: gate shape gives 0.90 at the 0.5 threshold, ~1 for planted dups") {
+    assert(math.abs(BandTuner.minhashBandRecall(0.5, 8, 2) - 0.90) < 0.01)
+    assert(BandTuner.minhashBandRecall(0.8, 8, 2) > 0.999)
+    assert(math.abs(BandTuner.minhashBandRecall(1.0, 8, 2) - 1.0) < 1e-9)
+  }
+
+  test("document corpus: minhash banding recommended — docs have dup structure") {
+    // unlike the near-uniform embeddings, the gate documents carry planted
+    // near-dups; banding should price far below all-pairs
+    val a = BandTuner.suggestMinhash(spark, sfDir, jaccard = 0.8)
+    assert(a.recommendBanded, s"expected banded on the document corpus: $a")
+    assert(a.predictedRecall >= 0.9, s"floor must hold at j=0.8: $a")
+    assert(a.nTables * a.planesPerTable <= 16, s"budget must bind: $a")
+  }
+
   test("advice is deterministic") {
     val dir = ProfileCrossover.generate(spark, 2000)
     val a1 = BandTuner.suggest(spark, dir, threshold = 0.9)

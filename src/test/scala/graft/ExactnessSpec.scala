@@ -51,6 +51,19 @@ class ExactnessSpec extends SparkSpec {
       s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
   }
 
+  test("dedup_ngram_jaccard: a knobbed recall-total minhash shape still ≡ exact") {
+    // 16 bands × 1 row is recall-total at j ≥ 0.5 by a huge margin
+    // (1-(1-j)^16 ≥ 0.9999), so the runtime shape knob must preserve the
+    // answer exactly, same as the embedding-side band knobs do
+    val exact = rowsOf(DedupOps.ngramJaccard(spark, sfDir))
+    spark.conf.set("graft.sim.bands.minhash", "16x1")
+    try {
+      val banded = withCandidatePath(rowsOf(DedupOps.ngramJaccard(spark, sfDir)))
+      assert(banded == exact,
+        s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
+    } finally spark.conf.unset("graft.sim.bands.minhash")
+  }
+
   test("dedup_connected_components inherits the scale path through ngramJaccard") {
     val exact = rowsOf(DedupOps.connectedComponents(spark, sfDir))
     val banded = withCandidatePath(rowsOf(DedupOps.connectedComponents(spark, sfDir)))
