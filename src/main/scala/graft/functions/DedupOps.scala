@@ -101,8 +101,11 @@ object DedupOps extends QueryPack {
       .orderBy($"d1", $"d2")
   }
 
-  val NumHashes = 16
-  val BandRows = 2 // gate shape: 8 bands x 2 rows
+  // gate shape: 8 bands x 2 rows = 16 hashes; minhashShape's defaults
+  // derive from these so the constants and the knob default can't drift
+  val BandRows = 2
+  val NumBands = 8
+  val NumHashes = NumBands * BandRows
 
   /** Runtime MinHash band shape, `graft.sim.bands.minhash` =
     * `"<bands>x<rows>"` (default the gate's 8x2) — the document-side twin
@@ -114,7 +117,7 @@ object DedupOps extends QueryPack {
     * hash-matches. [[BandTuner.suggestMinhash]] picks a shape for a corpus.
     */
   private[graft] def minhashShape(spark: SparkSession): (Int, Int) =
-    SimilarityOps.bandShape(spark, "minhash", defTables = 8, defPlanes = 2)
+    SimilarityOps.bandShape(spark, "minhash", defTables = NumBands, defPlanes = BandRows)
 
   /** MinHash signatures mh_0..mh_{n-1}. Each shingle STRING is hashed once
     * (xxhash64); the n hash functions re-hash that single long with the

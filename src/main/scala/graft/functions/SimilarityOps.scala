@@ -35,7 +35,7 @@ object SimilarityOps extends QueryPack {
   /** Wider family for the candidate-generator configs; the first `NPlanes`
     * are the same planes `annLsh` has always used (same seeded stream —
     * extending the family appends planes, it never changes existing ones,
-    * so every gate-validated config is byte-identical). 64 planes admit
+    * so every gate-validated config is byte-identical). 128 planes admit
     * the 8×8 deployment shapes a clustered corpus wants
     * (tools/ProfileCrossover.scala): more buckets per table than clusters,
     * or Σ|bucket|² degenerates toward n².
@@ -77,8 +77,15 @@ object SimilarityOps extends QueryPack {
       defTables: Int, defPlanes: Int): (Int, Int) = {
     val s = spark.conf.get(s"graft.sim.bands.$key", s"${defTables}x$defPlanes")
     s.toLowerCase.split("x") match {
-      case Array(t, p) => (t.trim.toInt, p.trim.toInt)
-      case _ => sys.error(s"graft.sim.bands.$key must be '<tables>x<planes>', got '$s'")
+      // positivity is validated HERE so every route fails with the knob
+      // error — the minhash route would otherwise die deep in plan build
+      // (numHashes=0 → empty agg list) with an opaque NoSuchElementException
+      case Array(t, p) if t.trim.nonEmpty && p.trim.nonEmpty
+          && t.trim.forall(_.isDigit) && p.trim.forall(_.isDigit)
+          && t.trim.toInt > 0 && p.trim.toInt > 0 =>
+        (t.trim.toInt, p.trim.toInt)
+      case _ => sys.error(
+        s"graft.sim.bands.$key must be '<tables>x<planes>' with both positive, got '$s'")
     }
   }
 

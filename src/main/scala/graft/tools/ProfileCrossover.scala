@@ -150,17 +150,17 @@ object ProfileCrossover {
             println(f"CROSSOVER n=$n pairs_threshold      " +
               f"recall_conf(cos>=0.6)=${foundConf.toDouble / math.max(nConf, 1)}%.4f " +
               f"over $nConf confident pairs")
-            found.toDouble / nExact
+            found.toDouble / math.max(nExact, 1)
           case "nearest_same_label" =>
             // a hit = banded's neighbor is as close as exact's (id may
             // differ on cosine ties); a vector banded has NO row for is a miss
             val j = exact.select($"vec_id", $"cos".as("c_ex"))
               .join(banded.select($"vec_id", $"cos".as("c_b")), Seq("vec_id"), "left")
-            j.filter($"c_b" >= $"c_ex" - 1e-6).count().toDouble / exact.count()
+            j.filter($"c_b" >= $"c_ex" - 1e-6).count().toDouble / math.max(exact.count(), 1)
           case _ => // embedding_cosine: canonical assignment agreement
             val j = exact.select($"vec_id", $"canonical_id".as("ce"))
               .join(banded.select($"vec_id", $"canonical_id".as("cb")), Seq("vec_id"), "left")
-            j.filter($"cb" === $"ce").count().toDouble / exact.count()
+            j.filter($"cb" === $"ce").count().toDouble / math.max(exact.count(), 1)
         }
         println(f"CROSSOVER n=$n $name%-20s exact=$tExact%7.2fs banded=$tBanded%7.2fs " +
           f"speedup=${tExact / tBanded}%5.2fx recall=$recall%.4f")

@@ -71,8 +71,9 @@ class ExactnessSpec extends SparkSpec {
   }
 
   test("ann_lsh unchanged by the wider hyperplane family (first 16 planes identical)") {
-    // the plane family has grown twice (16 → 32 for the candidate configs,
-    // 32 → 64 for the r6 crossover shapes); annLsh still uses the first 16,
+    // the plane family has grown (16 → 32 for the candidate configs, then
+    // to the 128-plane Hyperplanes.Max for the r6 crossover/deployment
+    // shapes); annLsh still uses the first 16,
     // which come from the same seeded stream prefix
     val planes = SimilarityOps.hyperplanes
     assert(planes.size == SimilarityOps.NPlanesMax)
@@ -80,5 +81,19 @@ class ExactnessSpec extends SparkSpec {
     val regenerated = Seq.fill(16)(Seq.fill(SimilarityOps.Dim)(
       if (rnd.nextBoolean()) 1.0f else -1.0f))
     assert(planes.take(16) == regenerated)
+  }
+
+  test("band-shape knob rejects zero/negative/garbage shapes with the knob error") {
+    // every malformed value must die at bandShape with the knob's own
+    // message — never deep in plan build (a 0x4 minhash shape used to
+    // surface as a NoSuchElementException from an empty agg list)
+    for (bad <- Seq("0x4", "4x0", "-2x4", "x4", "4x", "abc", "4x4x4")) {
+      spark.conf.set("graft.sim.bands.minhash", bad)
+      try {
+        val e = intercept[RuntimeException](
+          DedupOps.minhashCandidatesPlan(spark, sfDir))
+        assert(e.getMessage.contains("graft.sim.bands.minhash"), s"shape '$bad': ${e.getMessage}")
+      } finally spark.conf.unset("graft.sim.bands.minhash")
+    }
   }
 }
