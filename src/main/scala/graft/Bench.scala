@@ -78,10 +78,22 @@ object Bench {
         math.min(p, 20)
       }.getOrElse(7)
     // one measurement methodology for every block: min of `passes` timed
-    // runs (failures excluded; all-failed → the -1 sentinel)
-    def measure(names: Seq[String]): Seq[(String, Double)] = names.map { n =>
-      val ok = Seq.fill(passes)(run(n)).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    // runs (failures excluded; all-failed → the -1 sentinel). Passes are
+    // ROUND-ROBIN over the whole set, not consecutive per query: the round-6
+    // official bench showed the first four queries of the set drifting
+    // +18-61% while a re-run on identical code showed a DIFFERENT contiguous
+    // block drifting — shared-machine load spikes span seconds, so 7
+    // back-to-back passes of one ~0.3 s query all land inside one spike and
+    // min-of-7 can't discard it. Interleaving spreads each query's passes
+    // across the whole measurement window, so a spike costs every query at
+    // most one or two of its passes.
+    def measure(names: Seq[String]): Seq[(String, Double)] = {
+      val times = Seq.fill(passes)(names.map(n => n -> run(n))).flatten
+        .groupMap(_._1)(_._2)
+      names.map { n =>
+        val ok = times(n).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
     }
     def toJson(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
