@@ -26,7 +26,8 @@ final case class BandShapeAdvice(
     sampledVectors: Long,
     candidateFraction: Double,
     predictedSpeedup: Double,
-    recommendBanded: Boolean) {
+    recommendBanded: Boolean,
+    probeBits: Int = 0) {
   /** The `graft.sim.bands.<key>` value this advice corresponds to. */
   def shape: String = s"${nTables}x$planesPerTable"
 }
@@ -77,7 +78,30 @@ object BandTuner {
     * 1 − (1 − tableCollision)^tables.
     */
   def pairRecall(cos: Double, tables: Int, planes: Int): Double =
-    1.0 - math.pow(1.0 - tableCollision(cos, planes), tables)
+    pairRecallProbed(cos, tables, planes, 0)
+
+  /** [[pairRecall]] under query-side multi-probe: a table hits when the two
+    * signatures agree on all `planes` bits OR differ in exactly one bit
+    * that the query probes. With per-plane disagreement q = θ/π the
+    * per-table hit probability is
+    * (1−q)^planes + probeBits·q·(1−q)^(planes−1) — the binomial d≤1 mass
+    * restricted to `probeBits` of the `planes` positions. Planes are iid,
+    * so any FIXED probe set of that size gives exactly this in expectation;
+    * the kernel's confidence-ordered probing ([[graft.expr.LshProbes]])
+    * only does better (conditioned on exactly one differing plane, that
+    * plane is overwhelmingly a low-margin one), so this is a conservative
+    * floor, in keeping with the advisor's overestimate-cost posture.
+    */
+  def pairRecallProbed(cos: Double, tables: Int, planes: Int,
+      probeBits: Int): Double = {
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits $probeBits must be in [0, planes=$planes]")
+    val c = math.max(-1.0, math.min(1.0, cos))
+    val q = math.acos(c) / math.Pi
+    val hit = math.pow(1.0 - q, planes) +
+      probeBits * q * math.pow(1.0 - q, math.max(planes - 1, 0))
+    1.0 - math.pow(1.0 - math.min(1.0, hit), tables)
+  }
 
   /** Advise a band shape for a corpus: the most aggressive planes count
     * meeting `recallFloor` at `threshold`, priced on an md5-deterministic
@@ -102,19 +126,28 @@ object BandTuner {
       nTables: Int = 8,
       recallFloor: Double = 0.9,
       minSpeedup: Double = 3.0,
-      sampleCap: Int = 10000): BandShapeAdvice = {
+      sampleCap: Int = 10000,
+      probeBits: Int = 0): BandShapeAdvice = {
     require(threshold > -1.0 && threshold < 1.0,
       s"threshold must be a non-degenerate cosine, got $threshold")
     require(nTables > 0 && nTables <= graft.expr.Hyperplanes.Max,
       s"nTables must be in [1, ${graft.expr.Hyperplanes.Max}], got $nTables")
+    require(probeBits >= 0, s"probeBits must be >= 0, got $probeBits")
     GraftFunctions.register(spark)
     import spark.implicits._
 
-    // recall is monotone decreasing in planes → largest qualifying value
+    // recall is monotone decreasing in planes → largest qualifying value.
+    // Under probing the search prices pairRecallProbed, so the same floor
+    // admits SHARPER tables (smaller buckets): probing converts its
+    // (1+bits)× probe-row cost into a bucket-count multiplier the shape
+    // could not otherwise afford.
     val pCap = math.min(30, graft.expr.Hyperplanes.Max / nTables)
+    def recallOf(p: Int): Double =
+      pairRecallProbed(threshold, nTables, p, math.min(probeBits, p))
     val planes = (pCap to 1 by -1)
-      .find(p => pairRecall(threshold, nTables, p) >= recallFloor)
+      .find(p => recallOf(p) >= recallFloor)
       .getOrElse(1)
+    val bits = math.min(probeBits, planes)
 
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     // corpusVectors rides the sample's own scan as an observed metric
@@ -133,12 +166,37 @@ object BandTuner {
       val exactPairs = s.toDouble * (s - 1) / 2
       val mass =
         if (s < 2) 0.0
-        else sample
-          .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
-            .as(Seq("tbl", "bucket")))
-          .groupBy($"tbl", $"bucket").count()
-          .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
-          .head.getLong(0) / 2.0
+        else if (bits == 0)
+          sample
+            .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
+              .as(Seq("tbl", "bucket")))
+            .groupBy($"tbl", $"bucket").count()
+            .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
+            .head.getLong(0) / 2.0
+        else {
+          // probed volume is asymmetric (probe rows × base rows), priced by
+          // joining the sample's per-bucket probe counts against its base
+          // counts: Σ pc·bc counts directed discoveries incl. each row's
+          // self-match through its base slot (s·nTables of them). /2 maps
+          // directed to unordered — a pair only one side probes into
+          // contributes ½ instead of 1, which the per-table union bound's
+          // overcount offsets; the advisor's margin-based recommendation
+          // absorbs the residual (validated against measurement, SCALE.md).
+          val base = sample
+            .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
+              .as(Seq("tbl", "bucket")))
+            .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("bc"))
+          val probe = sample
+            .select(posexplode(
+              expr(s"lsh_probes(embedding, $nTables, $planes, $bits)"))
+              .as(Seq("pos", "bucket")))
+            .withColumn("tbl", expr(s"pos div ${1 + bits}").cast("int"))
+            .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("pc"))
+          val directed = probe.join(base, Seq("tbl", "bucket"))
+            .agg(coalesce(sum($"pc" * $"bc"), lit(0L)))
+            .head.getLong(0)
+          (directed - s.toDouble * nTables) / 2.0
+        }
       val frac =
         if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
       val speedup =
@@ -146,7 +204,7 @@ object BandTuner {
       BandShapeAdvice(
         nTables = nTables,
         planesPerTable = planes,
-        predictedRecall = pairRecall(threshold, nTables, planes),
+        predictedRecall = recallOf(planes),
         corpusVectors = n,
         sampledVectors = s,
         candidateFraction = frac,
@@ -155,8 +213,8 @@ object BandTuner {
         // planes count reaches the floor (few tables, or a threshold near
         // the -1 pole), the shape tried must not be recommended however
         // well it prices
-        recommendBanded = speedup >= minSpeedup &&
-          pairRecall(threshold, nTables, planes) >= recallFloor)
+        recommendBanded = speedup >= minSpeedup && recallOf(planes) >= recallFloor,
+        probeBits = bits)
     } finally {
       sample.unpersist()
       ()

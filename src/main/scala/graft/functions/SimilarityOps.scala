@@ -103,10 +103,13 @@ object SimilarityOps extends QueryPack {
     * callers that need them).
     */
   def lshCandidateIds(spark: SparkSession, dir: String,
-      nTables: Int, planesPerTable: Int, within: Seq[String] = Nil): DataFrame = {
+      nTables: Int, planesPerTable: Int, within: Seq[String] = Nil,
+      probeBits: Int = 0): DataFrame = {
     import spark.implicits._
     require(nTables * planesPerTable <= NPlanesMax,
       s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
+    require(probeBits >= 0 && probeBits <= planesPerTable,
+      s"probeBits $probeBits must be in [0, planesPerTable=$planesPerTable]")
     GraftFunctions.register(spark)
     // ALL table buckets in one native kernel call per row (`lsh_buckets`,
     // graft.expr.LshBuckets) — the previous form composed nTables ×
@@ -123,10 +126,61 @@ object SimilarityOps extends QueryPack {
         posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
           .as(Seq("tbl", "bucket")): _*)
     val keys = Seq("tbl", "bucket") ++ within
-    bucketed.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
+    // Base candidates: the symmetric bucket self-join — every pair appears
+    // in both orders, the `<` keeps one, so the dominant base-bucket mass
+    // is never duplicated into the distinct.
+    val basePairs = bucketed.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
       .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
       .filter($"v1" < $"v2")
-      .select($"v1", $"v2").distinct()
+      .select($"v1", $"v2")
+    if (probeBits == 0) basePairs.distinct()
+    else {
+      // Multi-probe (probeBits > 0): each vector ALSO probes, per table,
+      // the `probeBits` Hamming-1 neighbor buckets of its lowest-|dot|
+      // planes (`lsh_probes`, graft.expr.LshProbes) — isolated vectors
+      // whose neighbor sits one near-zero sign flip away are found without
+      // adding tables. Only the FLIPPED slots join here (`pos % stride !=
+      // 0`): the base slot is basePairs' job, so probing adds exactly the
+      // neighbor-bucket mass instead of re-discovering (and doubling) the
+      // base mass. The flipped join is asymmetric — each vector probes its
+      // OWN low-margin planes, so a pair can surface from either side only
+      // — hence canonicalize with least/greatest rather than pre-filter
+      // with `<`, which would silently drop discoveries made from the
+      // larger id. Probing only ADDS candidates over the base route, so
+      // banded ≡ exact invariants are preserved (ExactnessSpec runs the
+      // knob on).
+      val stride = 1 + probeBits
+      val flipped = Tables.embeddings(spark, dir)
+        .select($"vec_id" +: within.map(col) :+
+          posexplode(expr(
+            s"lsh_probes(embedding, $nTables, $planesPerTable, $probeBits)"))
+            .as(Seq("pos", "bucket")): _*)
+        .filter(pmod($"pos", lit(stride)) =!= 0)
+        .withColumn("tbl", expr(s"pos div $stride").cast("int"))
+      val probePairs = flipped.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
+        .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
+        .filter($"v1" =!= $"v2")
+        .select(least($"v1", $"v2").as("v1"), greatest($"v1", $"v2").as("v2"))
+      basePairs.union(probePairs).distinct()
+    }
+  }
+
+  /** Multi-probe knob, `graft.sim.probe.<key>` = number of Hamming-1
+    * neighbor buckets to visit per table on the probe side (default 0 =
+    * off, the gate posture; the band shapes the gate validates are already
+    * recall-total there). A deployment turns it on to buy top-1 recall on
+    * isolated vectors WITHOUT adding tables — candidate volume grows by at
+    * most (1+bits)×, concentrated on the low-margin planes where misses
+    * live. Clamped to planesPerTable ([[graft.expr.LshProbes]] can only
+    * flip bits a table has).
+    */
+  private[graft] def probeBitsOf(spark: SparkSession, key: String,
+      planesPerTable: Int): Int = {
+    val raw = spark.conf.get(s"graft.sim.probe.$key", "0")
+    val v = raw.toIntOption.getOrElse(sys.error(
+      s"graft.sim.probe.$key must be a non-negative int, got '$raw'"))
+    require(v >= 0, s"graft.sim.probe.$key must be >= 0, got $v")
+    math.min(v, planesPerTable)
   }
 
   /** Brute-force exact top-k: broadcast queries, one codegen scoring scan,
@@ -205,7 +259,8 @@ object SimilarityOps extends QueryPack {
         a.join(b, $"v1" < $"v2")
       } else {
         val (t, p) = bandShape(spark, "pairs", defTables = 16, defPlanes = 2)
-        lshCandidateIds(spark, dir, nTables = t, planesPerTable = p)
+        lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
+          probeBits = probeBitsOf(spark, "pairs", p))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
       }
@@ -229,27 +284,81 @@ object SimilarityOps extends QueryPack {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val pairs =
+    // per-v1 argmax as a partial-aggregable max_by (ordering struct encodes
+    // the window's (cos desc, v2 asc) tie-break as (cos, -v2) max) — the
+    // shuffle carries one row per (v1, partition), not every scored pair
+    def argmaxOf(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .groupBy($"v1", $"label")
+      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
+    val best =
       if (exactSim(spark)) {
         val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
         val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
-        a.join(b, Seq("label")).filter($"v1" =!= $"v2")
+        argmaxOf(a.join(b, Seq("label")).filter($"v1" =!= $"v2"))
       } else {
         // per-label index: buckets pair within a label only (same coverage
         // for same-label pairs as a global index, ~|labels|× less volume)
         val (t, p) = bandShape(spark, "samelabel", defTables = 32, defPlanes = 1)
         val cand = lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
-          within = Seq("label"))
-        cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
-          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
-          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
+          within = Seq("label"), probeBits = probeBitsOf(spark, "samelabel", p))
+        val banded = argmaxOf(
+          cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
+            .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
+            .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2")))
+        val rescue = rescueOf(spark, "samelabel")
+        if (rescue <= 0.0) banded
+        else {
+          // Rescue tier: top-1 retrieval has no threshold to hide behind —
+          // a vector whose banded best lands BELOW `rescue` (or that got no
+          // candidates at all) has a real chance its true neighbor was
+          // missed, because low-cosine results and LSH misses are the same
+          // population: isolated vectors (SCALE.md round 6/7 — d≤1 probing
+          // saturates near 0.91 on the crossover corpus). Those vectors get
+          // an exact per-label re-scan; everything the index answered
+          // CONFIDENTLY (≥ rescue, where banded recall is near-total on a
+          // shape-matched corpus) keeps its banded answer. Cost is the
+          // quadratic tail only: |unresolved| × label-slice, and unresolved
+          // is the isolated minority, tunable by the knob. Eager
+          // localCheckpoint so the banded subtree runs once for both the
+          // keep and the anti-join sides.
+          val resolved = banded.filter($"b.cos" >= rescue).localCheckpoint(true)
+          // the unresolved probes are small BY the tier's premise (the
+          // isolated tail; a fat tail means the corpus isn't LSH-friendly
+          // and the advisor says stay exact) — broadcast them so the
+          // label-slice scan streams the corpus at full parallelism
+          // instead of shuffling it onto |labels| reducers. Safe to hint:
+          // `resolved` is an eager localCheckpoint, so the broadcast ships
+          // materialized rows, not a pending aggregation subtree.
+          val probes = broadcast(
+            e.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti")
+              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"))
+          val tail = probes
+            .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label"), Seq("label"))
+            .filter($"v1" =!= $"v2")
+          resolved.union(argmaxOf(tail))
+        }
       }
-    pairs
-      .withColumn("cos", expr("cosine_sim(e1, e2)"))
-      .groupBy($"v1", $"label")
-      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
+    best
       .select($"v1".as("vec_id"), $"label", $"b.v2".as("nearest"), round($"b.cos", 6).as("cos"))
       .orderBy($"vec_id")
+  }
+
+  /** Rescue-tier knob, `graft.sim.rescue.<key>` = cosine confidence floor
+    * below which a banded top-1 answer is re-derived exactly (0 = off, the
+    * default). The two-tier contract: banded answers ≥ floor are kept,
+    * everything else — including vectors with no candidates — pays the
+    * exact label-slice scan. Recall for the rescued population is 1.0 by
+    * construction; residual misses need BOTH a missed true neighbor AND a
+    * spurious confident stand-in above the floor.
+    */
+  private[graft] def rescueOf(spark: SparkSession, key: String): Double = {
+    val raw = spark.conf.get(s"graft.sim.rescue.$key", "0")
+    val v = raw.toDoubleOption.getOrElse(sys.error(
+      s"graft.sim.rescue.$key must be a cosine in [0, 1), got '$raw'"))
+    require(v >= 0.0 && v < 1.0,
+      s"graft.sim.rescue.$key must be a cosine in [0, 1), got $v")
+    v
   }
 
   val IvfCells = 16

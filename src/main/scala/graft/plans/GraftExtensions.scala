@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BestCell, CosineSimilarity, DotProduct, LshBuckets}
+import graft.expr.{BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,6 +47,19 @@ object GraftFunctions {
             s"lsh_buckets: $what must be an integer literal, got $other")
         }
         LshBuckets(args.head, intLit(args(1), "nTables"), intLit(args(2), "planesPerTable"))
+      }),
+    (FunctionIdentifier("lsh_probes"),
+      new ExpressionInfo(classOf[LshProbes].getName, "lsh_probes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "lsh_probes takes (embedding, nTables, planesPerTable, probeBits)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_probes: $what must be an integer literal, got $other")
+        }
+        LshProbes(args.head, intLit(args(1), "nTables"),
+          intLit(args(2), "planesPerTable"), intLit(args(3), "probeBits"))
       }),
     (FunctionIdentifier("best_cell"),
       new ExpressionInfo(classOf[BestCell].getName, "best_cell"),

@@ -51,7 +51,13 @@ import org.apache.spark.sql.functions._
 object ProfileCrossover {
   val Dim: Int = SimilarityOps.Dim
   val Sigma = 0.025
-  val BgFrac = 0.15
+  /** Uniform-background fraction — the isolated tail that is LSH's hard
+    * population (no cluster to share a bucket with). 15% is a deliberately
+    * adversarial stress tail; override via SPARK_GRAFT_CROSSOVER_BG to
+    * model realistic near-dup corpora (round 7 measures 5% alongside).
+    */
+  val BgFrac: Double = sys.env.get("SPARK_GRAFT_CROSSOVER_BG")
+    .map(_.toDouble).getOrElse(0.15)
   val ClusterSize = 50
   val NLabels = 8
   /** Default 8 tables × 8 planes: 256 buckets per table — the first
@@ -67,14 +73,33 @@ object ProfileCrossover {
     */
   val Bands: String = {
     val s = sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x8")
-    s.toLowerCase.split("x").map(t => scala.util.Try(t.trim.toInt)) match {
+    if (s.toLowerCase == "auto") s.toLowerCase
+    else s.toLowerCase.split("x").map(t => scala.util.Try(t.trim.toInt)) match {
       case Array(scala.util.Success(t), scala.util.Success(p))
           if t > 0 && p > 0 && t * p <= graft.expr.Hyperplanes.Max => s
       case _ => sys.error(
-        s"SPARK_GRAFT_CROSSOVER_BANDS must be '<tables>x<planes>' with " +
+        s"SPARK_GRAFT_CROSSOVER_BANDS must be '<tables>x<planes>' (or " +
+          s"'auto' to let BandTuner.suggest pick per corpus) with " +
           s"tables*planes <= ${graft.expr.Hyperplanes.Max}, got '$s'")
     }
   }
+
+  /** Resolve the shape for a generated corpus: the env value, or — in
+    * `auto` mode — whatever [[graft.functions.BandTuner.suggest]] picks
+    * from the corpus itself (threshold 0.96 = where the planted
+    * intra-cluster pairs sit; round 7 closes the loop by letting the
+    * ADVISOR choose the shape the measurement then validates, instead of
+    * a human reading the cluster count off the generator).
+    */
+  def resolveBands(spark: SparkSession, dir: String): String =
+    if (Bands != "auto") Bands
+    else {
+      val a = graft.functions.BandTuner.suggest(spark, dir, threshold = 0.96)
+      println(f"CROSSOVER advisor shape=${a.shape} " +
+        f"predRecall=${a.predictedRecall}%.4f " +
+        f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
+      a.shape
+    }
 
   def generate(spark: SparkSession, n: Int, seed: Int = 7): String = {
     import spark.implicits._
@@ -97,7 +122,9 @@ object ProfileCrossover {
         (i.toLong, unit(v), c % NLabels)
       }
     }
-    val dir = s"/tmp/graft_crossover/n$n"
+    // dir carries the background fraction so corpora generated under
+    // different SPARK_GRAFT_CROSSOVER_BG values never alias
+    val dir = s"/tmp/graft_crossover/n${n}_bg${math.round(BgFrac * 100)}"
     rows.toDF("vec_id", "embedding", "label")
       .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
@@ -124,11 +151,12 @@ object ProfileCrossover {
 
     for (n <- sizes) {
       val dir = generate(spark, n)
-      println(s"CROSSOVER corpus n=$n dir=$dir")
+      val bands = resolveBands(spark, dir)
+      println(s"CROSSOVER corpus n=$n dir=$dir bands=$bands")
       for ((name, build) <- queries) {
         spark.conf.set("graft.sim.exact", "true")
         Seq("pairs", "samelabel", "cosdedup")
-          .foreach(k => spark.conf.set(s"graft.sim.bands.$k", Bands))
+          .foreach(k => spark.conf.set(s"graft.sim.bands.$k", bands))
         val tExact = timed(2)(build(dir).write.format("noop").mode("overwrite").save())
         val exact = build(dir).localCheckpoint() // pin the exact answer for recall
         spark.conf.set("graft.sim.exact", "false")

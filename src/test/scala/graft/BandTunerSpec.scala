@@ -66,6 +66,33 @@ class BandTunerSpec extends SparkSpec {
     assert(a.nTables * a.planesPerTable <= 16, s"budget must bind: $a")
   }
 
+  test("probed recall model: probeBits=0 degenerates to pairRecall, probing only helps") {
+    for (cos <- Seq(0.5, 0.7, 0.9); t <- Seq(4, 8); p <- Seq(4, 10)) {
+      assert(BandTuner.pairRecallProbed(cos, t, p, 0) == BandTuner.pairRecall(cos, t, p))
+      val byBits = (0 to p).map(BandTuner.pairRecallProbed(cos, t, p, _))
+      assert(byBits == byBits.sorted, s"recall must rise with probes: $cos $t $p")
+      assert(byBits.last > byBits.head, "full-ball probing must strictly help off the pole")
+    }
+    // the binomial d<=1 identity at probeBits=planes: P0 + planes·q·(1-q)^(p-1)
+    val q = math.acos(0.7) / math.Pi
+    val expect = 1.0 - math.pow(
+      1.0 - (math.pow(1 - q, 8) + 8 * q * math.pow(1 - q, 7)), 4)
+    assert(math.abs(BandTuner.pairRecallProbed(0.7, 4, 8, 8) - expect) < 1e-12)
+  }
+
+  test("probing lets the same floor buy sharper tables, and prices the probe volume") {
+    val dir = ProfileCrossover.generate(spark, 2000)
+    val base = BandTuner.suggest(spark, dir, threshold = 0.9)
+    val probed = BandTuner.suggest(spark, dir, threshold = 0.9, probeBits = 3)
+    assert(probed.probeBits == 3, s"advice must carry the probe setting: $probed")
+    assert(probed.planesPerTable >= base.planesPerTable,
+      s"probed recall admits at least as sharp a shape: base=$base probed=$probed")
+    assert(probed.predictedRecall >= 0.9, s"floor must hold under probing: $probed")
+    // the probed pricing path must produce a sane fraction (self-matches
+    // subtracted, never negative, capped at all-pairs)
+    assert(probed.candidateFraction > 0.0 && probed.candidateFraction <= 1.0)
+  }
+
   test("advice is deterministic") {
     val dir = ProfileCrossover.generate(spark, 2000)
     val a1 = BandTuner.suggest(spark, dir, threshold = 0.9)

@@ -43,6 +43,63 @@ class ExactnessSpec extends SparkSpec {
       s"missing=${exact.toSet -- banded.toSet} spurious=${banded.toSet -- exact.toSet}")
   }
 
+  test("sim_nearest_same_label: multi-probe banded path ≡ exact (probing only adds)") {
+    // probing visits extra buckets on the probe side only, so candidates
+    // are a superset of the unprobed banded run — the answer must stay
+    // identical to exact even with the deployment probe knob on
+    val exact = rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir))
+    spark.conf.set("graft.sim.probe.samelabel", "1")
+    try {
+      val probed = withCandidatePath(rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir)))
+      assert(probed == exact,
+        s"missing=${exact.toSet -- probed.toSet} spurious=${probed.toSet -- exact.toSet}")
+    } finally spark.conf.unset("graft.sim.probe.samelabel")
+  }
+
+  test("sim_nearest_same_label: rescue tier ≡ exact (confident kept, tail re-derived)") {
+    // with the rescue floor on, unconfident banded answers are re-derived
+    // exactly — the result must still match exact row-for-row, including
+    // at a deliberately sharp shape (4x4) whose unprobed banded run would
+    // miss neighbors on this corpus
+    val exact = rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir))
+    spark.conf.set("graft.sim.bands.samelabel", "4x4")
+    spark.conf.set("graft.sim.rescue.samelabel", "0.999")
+    try {
+      // floor 0.999 rescues nearly every vector → answer is exact by
+      // construction; this pins the tier's plumbing (anti-join coverage,
+      // union schema, vectors with no candidates)
+      val rescued = withCandidatePath(rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir)))
+      assert(rescued == exact,
+        s"missing=${exact.toSet -- rescued.toSet} spurious=${rescued.toSet -- exact.toSet}")
+    } finally {
+      spark.conf.unset("graft.sim.bands.samelabel")
+      spark.conf.unset("graft.sim.rescue.samelabel")
+    }
+  }
+
+  test("sim_pairs_threshold: multi-probe banded path ≡ exact at a sharper shape") {
+    // at the gate's recall-total 16x2 probing is a no-op by construction;
+    // the interesting case is a sharper shape (8x4) where probing must
+    // still return the exact answer because it only widens the candidates
+    val exact = rowsOf(SimilarityOps.pairsAboveThreshold(spark, sfDir))
+    spark.conf.set("graft.sim.bands.pairs", "8x4")
+    spark.conf.set("graft.sim.probe.pairs", "4")
+    try {
+      val probed = withCandidatePath(rowsOf(SimilarityOps.pairsAboveThreshold(spark, sfDir)))
+      // 8x4 probed must cover at least the unprobed 8x4 run; vs exact we
+      // assert no SPURIOUS pairs ever (verify filter is exact) and that
+      // probing recovered every pair the unprobed shape found
+      spark.conf.set("graft.sim.probe.pairs", "0")
+      val unprobed = withCandidatePath(rowsOf(SimilarityOps.pairsAboveThreshold(spark, sfDir)))
+      assert(probed.toSet.subsetOf(exact.toSet), "banded may never invent pairs")
+      assert(unprobed.toSet.subsetOf(probed.toSet),
+        s"probing lost pairs: ${unprobed.toSet -- probed.toSet}")
+    } finally {
+      spark.conf.unset("graft.sim.bands.pairs")
+      spark.conf.unset("graft.sim.probe.pairs")
+    }
+  }
+
   test("dedup_ngram_jaccard: MinHash candidate path ≡ exact shingle self-join") {
     val exact = rowsOf(DedupOps.ngramJaccard(spark, sfDir))
     val banded = withCandidatePath(rowsOf(DedupOps.ngramJaccard(spark, sfDir)))

@@ -21,6 +21,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * restart boundary falls MID-stream, with sessions open and windows
   * unfinalized across it, which is exactly where the halves split here.
   */
+/** Narrow (v1) and widened (v2) state records for the schema-evolution
+  * restart test — the shape of the FunnelState 3→5-field growth
+  * (EventStreams.scala "STATE-SCHEMA NOTE"), reduced to its essence.
+  * Top-level so the Product encoders carry no outer pointer.
+  */
+case class RestartStateV1(n: Long)
+case class RestartStateV2(n: Long, last: Option[Long])
+
 class StreamRestartSpec extends SparkSpec {
   import spark.implicits._
 
@@ -123,5 +131,57 @@ class StreamRestartSpec extends SparkSpec {
       .orderBy($"user_id").collect().map(_.toString)
     assert(got.sameElements(want),
       s"restart diverged: got=${got.length} want=${want.length} users")
+  }
+
+  test("a WIDENED state class cannot resume an old checkpoint — the failure is loud") {
+    // The operational rule the FunnelState STATE-SCHEMA NOTE documents,
+    // exercised: growing a stateful query's state record (FunnelState went
+    // 3 → 5 fields in round 5) is a checkpoint-breaking change. Spark's
+    // state-store schema check must REFUSE the resume with a schema
+    // incompatibility — not deserialize garbage, not silently reset state.
+    // A deployment upgrading across such a change starts a new checkpoint
+    // location (and backfills via the batch twin); this test pins that the
+    // failure mode is a loud, nameable error, not corruption.
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val root = Files.createTempDirectory("graft_restart_schema").toString
+    val src = s"$root/src"; val cp = s"$root/cp"; val out = s"$root/out"
+    val ev = Tables.events(spark, sfDir)
+    val half = ev.limit(200)
+
+    def runPass[S <: Product : org.apache.spark.sql.Encoder](
+        init: S, step: S => S, nOf: S => Long): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.select($"user_id").as[Long]
+        .groupByKey(identity)
+        .flatMapGroupsWithState[S, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, events: Iterator[Long], state:
+              org.apache.spark.sql.streaming.GroupState[S]) =>
+            var s = state.getOption.getOrElse(init)
+            events.foreach(_ => s = step(s))
+            state.update(s)
+            Iterator.single((user, nOf(s)))
+        }.toDF("user_id", "n")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    addFile(half, src, "h1.parquet")
+    runPass[RestartStateV1](RestartStateV1(0), s => RestartStateV1(s.n + 1), _.n)
+    addFile(half, src, "h2.parquet")
+    val ex = intercept[Exception] {
+      runPass[RestartStateV2](RestartStateV2(0, None),
+        s => RestartStateV2(s.n + 1, Some(1L)), _.n)
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+    assert(chain.contains("schema") && chain.contains("state"),
+      s"expected a state-schema incompatibility refusal, got: $chain")
   }
 }
