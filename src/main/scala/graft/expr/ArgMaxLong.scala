@@ -1,0 +1,75 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.dsl.expressions._
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CreateNamedStruct, Expression, If, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+
+/** arg_max_long(id, score) → struct<id: bigint, score: double>: the id
+  * with the greatest score, ties to the LOWEST id — the (score desc, id
+  * asc) argmax every similarity pipeline uses.
+  *
+  * Exists because the composed form, `max_by(struct(id, score),
+  * struct(score, -id))`, carries STRUCT-typed aggregation buffers, which
+  * disqualify `HashAggregateExec` (buffers must be UnsafeRow-mutable) and
+  * plan as **SortAggregate**: the entire scored-pair stream — Θ(n²/L) rows
+  * for the exact same-label path — is sorted per partition before one row
+  * per group survives. Measured round 7: at 250k vectors the sort spilled
+  * >90 GB of /tmp and killed the job; at 100k it silently spilled tens of
+  * GB inside the "70–90 s exact" runs. This aggregate keeps the SAME
+  * semantics in two flat primitive buffer slots (best score, best id), so
+  * the plan stays `HashAggregate` — fully codegen, partial→final, zero
+  * sort — and the argmax is a true streaming fold at any scale.
+  *
+  * Semantics pinned to the composed form it replaces:
+  *  - ties on score → lowest id (strict `<` on id at equal score);
+  *  - NaN score ranks greatest (Spark's double comparison order), same as
+  *    the struct-ordering max_by;
+  *  - null scores are ignored; a group with no non-null score yields null
+  *    (flagged by the id sentinel Long.MaxValue — ids are generated
+  *    non-negative row numbers everywhere in this engine, far below it).
+  */
+case class ArgMaxLong(id: Expression, score: Expression)
+    extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(id, score)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", LongType), StructField("score", DoubleType)))
+  override def prettyName: String = "arg_max_long"
+
+  private lazy val bScore = AttributeReference("bScore", DoubleType, nullable = false)()
+  private lazy val bId = AttributeReference("bId", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bScore, bId)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(Double.NegativeInfinity), Literal(Long.MaxValue))
+
+  // a candidate (s, i) beats the buffer iff s > bScore, or s == bScore and
+  // i < bId; the sentinel buffer loses to any real row because -Infinity
+  // loses to every score (including NaN, which Spark orders greatest)
+  private def beats(s: Expression, i: Expression): Expression =
+    (s > bScore) || ((s === bScore) && (i < bId))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val cond = score.isNotNull && beats(score, id)
+    Seq(If(cond, score, bScore), If(cond, id, bId))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    // right buffer's attributes address the partial being merged in
+    val cond = (bScore.right > bScore.left) ||
+      ((bScore.right === bScore.left) && (bId.right < bId.left))
+    Seq(If(cond, bScore.right, bScore.left), If(cond, bId.right, bId.left))
+  }
+
+  override lazy val evaluateExpression: Expression = If(
+    bId === Literal(Long.MaxValue) && bScore === Literal(Double.NegativeInfinity),
+    Literal.create(null, dataType),
+    CreateNamedStruct(Seq(Literal("id"), bId, Literal("score"), bScore)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(id = newChildren(0), score = newChildren(1))
+}

@@ -232,12 +232,16 @@ object SimilarityOps extends QueryPack {
       .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
       .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
-    // per-v1 argmax as a partial-aggregable max_by (ordering struct encodes
-    // the window's (cos desc, v2 asc) tie-break as (cos, -v2) max) — the
-    // shuffle carries one row per (v1, partition), not every scored pair
+    // per-v1 argmax via the flat-buffer arg_max_long aggregate — the
+    // max_by(struct, struct) form this replaces carried struct buffers,
+    // which disqualify HashAggregate and plan as SortAggregate: the whole
+    // scored-pair stream gets sorted per partition (measured >90 GB of
+    // spill at 250k vectors, SCALE.md round 7). arg_max_long keeps the
+    // identical (cos desc, v2 asc) semantics in two primitive buffer
+    // slots, so the plan is a streaming partial→final HashAggregate.
     pairs.groupBy($"v1")
-      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
-      .select($"v1".as("vec_id"), $"b.v2".as("nearest_in_bucket"), round($"b.cos", 6).as("cos"))
+      .agg(expr("arg_max_long(v2, cos)").as("b"))
+      .select($"v1".as("vec_id"), $"b.id".as("nearest_in_bucket"), round($"b.score", 6).as("cos"))
       .orderBy($"vec_id")
   }
 
@@ -284,13 +288,16 @@ object SimilarityOps extends QueryPack {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    // per-v1 argmax as a partial-aggregable max_by (ordering struct encodes
-    // the window's (cos desc, v2 asc) tie-break as (cos, -v2) max) — the
-    // shuffle carries one row per (v1, partition), not every scored pair
+    // per-v1 argmax via arg_max_long (cos desc, v2 asc — identical to the
+    // max_by(struct, struct) it replaced): flat primitive buffers keep the
+    // plan a streaming HashAggregate; the struct-buffer form planned as
+    // SortAggregate and sorted the Θ(n²/L) pair stream per partition,
+    // spilling >90 GB at 250k vectors (SCALE.md round 7). The shuffle
+    // still carries one row per (v1, partition), never the scored pairs.
     def argmaxOf(pairs: DataFrame): DataFrame = pairs
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .groupBy($"v1", $"label")
-      .agg(max_by(struct($"v2", $"cos"), struct($"cos", (-$"v2").as("nv"))).as("b"))
+      .agg(expr("arg_max_long(v2, cos)").as("b"))
     val best =
       if (exactSim(spark)) {
         val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
@@ -322,7 +329,7 @@ object SimilarityOps extends QueryPack {
           // is the isolated minority, tunable by the knob. Eager
           // localCheckpoint so the banded subtree runs once for both the
           // keep and the anti-join sides.
-          val resolved = banded.filter($"b.cos" >= rescue).localCheckpoint(true)
+          val resolved = banded.filter($"b.score" >= rescue).localCheckpoint(true)
           // the unresolved probes are small BY the tier's premise (the
           // isolated tail; a fat tail means the corpus isn't LSH-friendly
           // and the advisor says stay exact) — broadcast them so the
@@ -340,7 +347,7 @@ object SimilarityOps extends QueryPack {
         }
       }
     best
-      .select($"v1".as("vec_id"), $"label", $"b.v2".as("nearest"), round($"b.cos", 6).as("cos"))
+      .select($"v1".as("vec_id"), $"label", $"b.id".as("nearest"), round($"b.score", 6).as("cos"))
       .orderBy($"vec_id")
   }
 
@@ -440,8 +447,10 @@ object SimilarityOps extends QueryPack {
     broadcast(probes).join(inverted, Seq("cell")).filter($"vec_id" =!= $"q_id")
       .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
       .groupBy($"q_id")
-      .agg(max_by(struct($"vec_id", $"cos"), struct($"cos", (-$"vec_id").as("nv"))).as("b"))
-      .select($"q_id", $"b.vec_id".as("nearest_ivf"), round($"b.cos", 6).as("cos"))
+      // arg_max_long over max_by(struct,struct): streaming HashAggregate
+      // instead of a SortAggregate over the probe×cell candidate stream
+      .agg(expr("arg_max_long(vec_id, cos)").as("b"))
+      .select($"q_id", $"b.id".as("nearest_ivf"), round($"b.score", 6).as("cos"))
       .orderBy($"q_id")
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,12 @@ object GraftFunctions {
         }
         LshProbes(args.head, intLit(args(1), "nTables"),
           intLit(args(2), "planesPerTable"), intLit(args(3), "probeBits"))
+      }),
+    (FunctionIdentifier("arg_max_long"),
+      new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "arg_max_long takes (id, score)")
+        ArgMaxLong(args.head, args(1))
       }),
     (FunctionIdentifier("best_cell"),
       new ExpressionInfo(classOf[BestCell].getName, "best_cell"),

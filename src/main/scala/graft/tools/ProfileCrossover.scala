@@ -40,9 +40,10 @@ import org.apache.spark.sql.functions._
   * (SCALE.md round 6; [[graft.functions.BandTuner]] is the in-engine
   * advisor built on the same arithmetic).
   *
-  * Fairness: exact gets a 64 MB broadcast threshold so its all-pairs join
+  * Fairness: exact gets a 256 MB broadcast threshold so its all-pairs join
   * broadcasts the full corpus instead of degrading to a partitioned
-  * cartesian product.
+  * cartesian product (or, at 250k vectors, to a sort-merge join whose
+  * per-key group buffering spills tens of GB).
   *
   * Usage: `runMain graft.tools.ProfileCrossover [n1 n2 ...]`
   * (default sizes 20000 50000 — 10× and 25× the sf0.1 corpus).
@@ -141,7 +142,10 @@ object ProfileCrossover {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(20000, 50000)
     val spark = Session.local(32, "profile-crossover")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // 256 MB: keep the exact baseline on its best (broadcast-hash) plan at
+    // 250k+ vectors — at 64 MB the ~70 MB embedding side flipped to a
+    // sort-merge join whose per-group buffering spilled >50 GB (r7)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
     import spark.implicits._
 
     val queries = Seq[(String, String => DataFrame)](

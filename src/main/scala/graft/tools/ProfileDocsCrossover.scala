@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
 object ProfileDocsCrossover {
   val Vocab = 8000
   val DocLen = 60
-  val ZipfS = 0.7
+  /** Token-frequency skew. 0.7 is mildly Zipfian (both routes stay
+    * linear-dominated); classic natural-language Zipf is s ≈ 1.0, where
+    * the hottest shingles appear in percent-level fractions of all slots
+    * and the exact self-join's Σ count² term explodes — override via
+    * SPARK_GRAFT_DOCSX_ZIPF to measure that regime.
+    */
+  val ZipfS: Double = sys.env.get("SPARK_GRAFT_DOCSX_ZIPF")
+    .map(_.toDouble).getOrElse(0.7)
   val OrigFrac = 0.7
   val MutateP = 0.05
 
@@ -50,23 +57,32 @@ object ProfileDocsCrossover {
     val nOrig = math.max(1, (n * OrigFrac).toInt)
     // distributed, deterministic per doc_id: a dup regenerates its base's
     // tokens from the base's seed, so no driver-side corpus materializes
-    // (250k × 60 tokens stays executor-side; the driver ships only scalars)
-    def tokensOf(id: Long): Array[String] = {
-      val r = new scala.util.Random(seed * 1000003L + id)
-      Array.fill(DocLen)(sampleWord(r))
-    }
+    // (250k × 60 tokens stays executor-side; the driver ships only scalars).
+    // Everything the lambda touches is a LOCAL copy — referencing the
+    // enclosing object's members would drag the non-serializable object
+    // into the task closure.
+    val (cumL, vocab, docLen, mutP) = (cum, Vocab, DocLen, MutateP)
     val docs = spark.range(n).map { i =>
+      def sampleWordL(r: scala.util.Random): String = {
+        val u = r.nextDouble()
+        val k = java.util.Arrays.binarySearch(cumL, u)
+        "w" + (if (k >= 0) k else -k - 1)
+      }
+      def tokensOf(id: Long): Array[String] = {
+        val r = new scala.util.Random(seed * 1000003L + id)
+        Array.fill(docLen)(sampleWordL(r))
+      }
       val text =
         if (i < nOrig) tokensOf(i).mkString(" ")
         else {
           val r = new scala.util.Random(seed * 7919L + i)
           tokensOf(i % nOrig)
-            .map(t => if (r.nextDouble() < MutateP) "w" + r.nextInt(Vocab) else t)
+            .map(t => if (r.nextDouble() < mutP) "w" + r.nextInt(vocab) else t)
             .mkString(" ")
         }
       (i, text)
     }.toDF("doc_id", "text")
-    val dir = s"/tmp/graft_docs_crossover/n$n"
+    val dir = s"/tmp/graft_docs_crossover/n${n}_z${math.round(ZipfS * 100)}"
     docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -98,24 +114,28 @@ object ProfileDocsCrossover {
       val exact = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
       val nExact = math.max(exact.count(), 1L)
 
-      spark.conf.set("graft.sim.exact", "false")
-      spark.conf.set("graft.sim.bands.minhash", advice.shape)
-      val tBanded = ProfileCrossover.timed(2)(run())
-      val banded = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
-      val found = exact.select($"d1", $"d2")
-        .join(banded.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count()
+      // the advised shape, plus the gate's recall-heavy 8x2 for contrast
+      for (shape <- Seq(advice.shape, "8x2").distinct) {
+        spark.conf.set("graft.sim.exact", "false")
+        spark.conf.set("graft.sim.bands.minhash", shape)
+        val tBanded = ProfileCrossover.timed(2)(run())
+        val banded = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
+        val found = exact.select($"d1", $"d2")
+          .join(banded.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count()
 
-      // advisor validation: measured candidate fraction at the advised
-      // shape vs the sample-predicted one
-      val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
-      val allPairs = n.toDouble * (n - 1) / 2
-      println(f"DOCSX n=$n exact=$tExact%8.2fs banded=$tBanded%8.2fs " +
-        f"speedup=${tExact / tBanded}%5.2fx recall=${found.toDouble / nExact}%.4f " +
-        f"pairs=$nExact")
-      println(f"DOCSX n=$n advisor-validation measuredFrac=${nCand / allPairs}%.6f " +
-        f"predictedFrac=${advice.candidateFraction}%.6f " +
-        f"candidates=$nCand")
-      spark.conf.unset("graft.sim.bands.minhash")
+        // advisor validation: measured candidate fraction at this shape vs
+        // the sample-predicted one (for the advised shape)
+        val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
+        val allPairs = n.toDouble * (n - 1) / 2
+        println(f"DOCSX n=$n shape=$shape%-5s exact=$tExact%8.2fs banded=$tBanded%8.2fs " +
+          f"speedup=${tExact / tBanded}%5.2fx recall=${found.toDouble / nExact}%.4f " +
+          f"pairs=$nExact")
+        println(f"DOCSX n=$n shape=$shape%-5s advisor-validation " +
+          f"measuredFrac=${nCand / allPairs}%.6f " +
+          f"predictedFrac=${advice.candidateFraction}%.6f " +
+          f"candidates=$nCand")
+        spark.conf.unset("graft.sim.bands.minhash")
+      }
       spark.conf.set("graft.sim.exact", "true")
     }
     spark.stop()

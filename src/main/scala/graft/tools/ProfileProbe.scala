@@ -12,39 +12,69 @@ import org.apache.spark.sql.functions._
   * with probeBits ∈ {0, 1, 2, 4}, reporting wall time, top-1 recall, and
   * the advisor's predicted recall for each setting.
   *
-  * Usage: `runMain graft.tools.ProfileProbe [n] [shape] [bits...]`
-  * (defaults: 100000, SPARK_GRAFT_CROSSOVER_BANDS or 8x10, 0 1 2 4).
+  * Usage: `runMain graft.tools.ProfileProbe [n] [shape[,shape...]] [bits...]`
+  * (defaults: 100000, SPARK_GRAFT_CROSSOVER_BANDS or 8x10, 0 1 2 4) —
+  * several comma-separated shapes share one exact baseline measurement.
   */
 object ProfileProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
-    val shape = args.lift(1).getOrElse(
+    val shapes = args.lift(1).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x10"))
+      .toLowerCase.split(",").map(_.trim).toSeq
     val bits = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(0, 1, 2, 4)
-    val Array(t, p) = shape.toLowerCase.split("x").map(_.trim.toInt)
 
     val spark = Session.local(32, "profile-probe")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // 256 MB: keep the exact baseline on its best (broadcast-hash) plan at
+    // 250k+ vectors — at 64 MB the ~70 MB embedding side flipped to a
+    // sort-merge join whose per-group buffering spilled >50 GB (r7)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
     import spark.implicits._
 
     val dir = ProfileCrossover.generate(spark, n)
-    println(s"PROBE corpus n=$n shape=${t}x$p dir=$dir")
+    println(s"PROBE corpus n=$n shapes=${shapes.mkString(",")} dir=$dir")
 
     def run(): Unit = SimilarityOps.nearestSameLabel(spark, dir)
       .write.format("noop").mode("overwrite").save()
 
-    // exact truth: timed like the banded runs, pinned for recall
+    // debug: print the exact query's plan and exit (no execution)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) {
+      spark.conf.set("graft.sim.exact", "true")
+      SimilarityOps.nearestSameLabel(spark, dir).explain("formatted")
+      spark.stop(); return
+    }
+
+    // exact truth: timed like the banded runs, pinned for recall.
+    // SPARK_GRAFT_PROBE_EXACT_PASSES trims the exact timing loop at big n
+    // (250k exact is ~minutes per pass; the banded-shape comparison is the
+    // point there, exact is baseline + truth)
+    val exactPasses = sys.env.get("SPARK_GRAFT_PROBE_EXACT_PASSES")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
     spark.conf.set("graft.sim.exact", "true")
-    val tExact = ProfileCrossover.timed(2)(run())
+    val tExact = ProfileCrossover.timed(exactPasses)(run())
     val exact = SimilarityOps.nearestSameLabel(spark, dir).localCheckpoint()
     val nExact = math.max(exact.count(), 1L)
     println(f"PROBE n=$n exact=$tExact%7.2fs rows=$nExact")
 
     spark.conf.set("graft.sim.exact", "false")
-    spark.conf.set("graft.sim.bands.samelabel", s"${t}x$p")
     val rescues = sys.env.getOrElse("SPARK_GRAFT_PROBE_RESCUE", "0,0.8")
       .split(",").map(_.trim.toDouble).toSeq
-    for (m <- bits; r <- rescues) {
+    for (shape <- shapes; m <- bits; r <- rescues) {
+      // "auto" = the advisor picks the shape for THIS corpus and probe
+      // setting (round 7, task: crossover rows where the shape came from
+      // suggest, not a human)
+      val (t, p) =
+        if (shape == "auto") {
+          val a = BandTuner.suggest(spark, dir, threshold = 0.96, probeBits = m)
+          println(f"PROBE advisor n=$n bits=$m shape=${a.shape} " +
+            f"predRecall=${a.predictedRecall}%.4f " +
+            f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
+          (a.nTables, a.planesPerTable)
+        } else {
+          val Array(t0, p0) = shape.split("x").map(_.trim.toInt)
+          (t0, p0)
+        }
+      spark.conf.set("graft.sim.bands.samelabel", s"${t}x$p")
       spark.conf.set("graft.sim.probe.samelabel", m.toString)
       spark.conf.set("graft.sim.rescue.samelabel", r.toString)
       val tBanded = ProfileCrossover.timed(2)(run())
@@ -72,7 +102,7 @@ object ProfileProbe {
       // regime probing targets — print both ends)
       val predTight = BandTuner.pairRecallProbed(0.97, t, p, m)
       val predLoose = BandTuner.pairRecallProbed(0.60, t, p, m)
-      println(f"PROBE n=$n bits=$m rescue=$r%.2f banded=$tBanded%7.2fs " +
+      println(f"PROBE n=$n shape=${t}x$p bits=$m rescue=$r%.2f banded=$tBanded%7.2fs " +
         f"xSlower=${tBanded / tExact}%5.3f " +
         f"speedup=${tExact / tBanded}%5.2fx recall=$recall%.4f " +
         f"recall_bg=${bgHit.toDouble / bgN}%.4f(n=$bgN) " +

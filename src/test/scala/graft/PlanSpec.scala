@@ -204,4 +204,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"funnel fell back to a window sort:\n$plan")
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("similarity argmax is a streaming HashAggregate, never a SortAggregate") {
+    // arg_max_long exists because max_by(struct, struct) carries struct
+    // aggregation buffers → SortAggregate → the whole Θ(n²/L) scored-pair
+    // stream is sorted per partition (measured >90 GB spill at 250k
+    // vectors, SCALE.md round 7). Pin the plan so a refactor back to the
+    // composed form fails here, not on a production corpus.
+    for (df <- Seq(
+        graft.functions.SimilarityOps.nearestSameLabel(spark, sfDir),
+        graft.functions.SimilarityOps.annLsh(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("SortAggregate"),
+        s"argmax fell back to sort-based aggregation:\n$plan")
+      assert(plan.contains("arg_max_long"), plan)
+    }
+  }
 }
