@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.QueryPack
 import graft.core.Tables
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -351,15 +352,19 @@ object DedupOps extends QueryPack {
     */
   def exactDedupKeepLongest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // keep-policy argmax as partial-aggregable max_by: ordering struct
-    // (n_chars, -doc_id) = "longest, ties to min id"; the shuffle carries
-    // one winner per (sha, partition), not every duplicate
+    // keep-policy argmax ("longest, ties to min id") via arg_max_long —
+    // flat primitive buffers keep the plan a streaming HashAggregate over
+    // the corpus; the max_by(struct, struct) form planned as SortAggregate
+    // and sorted every partition's document stream (SCALE.md round 7).
+    // n_chars rides as the double score (int64 lengths are far below the
+    // 2^53 lossless bound) and is cast back on the way out.
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars", sha2(normText, 256).as("content_sha"))
       .groupBy($"content_sha")
-      .agg(max_by(struct($"doc_id", $"n_chars"),
-        struct($"n_chars", (-$"doc_id").as("nd"))).as("b"))
-      .select($"b.doc_id".as("doc_id"), $"content_sha", $"b.n_chars".as("n_chars"))
+      .agg(expr("arg_max_long(doc_id, CAST(n_chars AS DOUBLE))").as("b"))
+      .select($"b.id".as("doc_id"), $"content_sha",
+        $"b.score".cast("long").as("n_chars"))
       .orderBy($"doc_id")
   }
 
@@ -406,19 +411,21 @@ object DedupOps extends QueryPack {
     * policy as [[exactDedupKeepLongest]] but over [[connectedComponents]]
     * clusters instead of exact-hash groups). This is the op that actually
     * shrinks the corpus; everything upstream only discovers structure.
-    * The argmax is a partial-aggregable `max_by` — one winner per
-    * (cluster, partition) in the shuffle, never a per-cluster sort.
+    * The argmax is `arg_max_long` — a streaming HashAggregate with one
+    * winner per (cluster, partition) in the shuffle; the struct-buffer
+    * `max_by` form would SortAggregate the whole document stream
+    * (SCALE.md round 7).
     */
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     connectedComponents(spark, dir)
       .join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"), Seq("doc_id"))
       .groupBy($"cluster_id")
-      .agg(max_by(struct($"doc_id", $"n_chars"),
-          struct($"n_chars", (-$"doc_id").as("nd"))).as("b"),
+      .agg(expr("arg_max_long(doc_id, CAST(n_chars AS DOUBLE))").as("b"),
         count(lit(1)).as("cluster_size"))
-      .select($"cluster_id", $"b.doc_id".as("kept_doc_id"),
-        $"b.n_chars".as("n_chars"), $"cluster_size")
+      .select($"cluster_id", $"b.id".as("kept_doc_id"),
+        $"b.score".cast("long").as("n_chars"), $"cluster_size")
       .orderBy($"cluster_id")
   }
 
