@@ -109,10 +109,19 @@ object ProfileDocsCrossover {
       def run(): Unit = DedupOps.ngramJaccard(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-      spark.conf.set("graft.sim.exact", "true")
-      val tExact = ProfileCrossover.timed(2)(run())
-      val exact = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
-      val nExact = math.max(exact.count(), 1L)
+      // SPARK_GRAFT_DOCSX_SKIP_EXACT: banded-only legs for corpora whose
+      // exact self-join cannot finish (the Zipf-1.0 250k corpus spilled
+      // past the disk budget — that explosion IS the measurement); recall
+      // is then unavailable and printed as -1
+      val skipExact = sys.env.contains("SPARK_GRAFT_DOCSX_SKIP_EXACT")
+      val (tExact, exactOpt) =
+        if (skipExact) (Double.NaN, None)
+        else {
+          spark.conf.set("graft.sim.exact", "true")
+          val t = ProfileCrossover.timed(2)(run())
+          (t, Some(DedupOps.ngramJaccard(spark, dir).localCheckpoint()))
+        }
+      val nExact = exactOpt.map(e => math.max(e.count(), 1L)).getOrElse(1L)
 
       // the advised shape, plus the gate's recall-heavy 8x2 for contrast
       for (shape <- Seq(advice.shape, "8x2").distinct) {
@@ -120,8 +129,9 @@ object ProfileDocsCrossover {
         spark.conf.set("graft.sim.bands.minhash", shape)
         val tBanded = ProfileCrossover.timed(2)(run())
         val banded = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
-        val found = exact.select($"d1", $"d2")
-          .join(banded.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count()
+        val found = exactOpt.map(e => e.select($"d1", $"d2")
+          .join(banded.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count())
+          .getOrElse(-1L)
 
         // advisor validation: measured candidate fraction at this shape vs
         // the sample-predicted one (for the advised shape)
