@@ -15,8 +15,10 @@ import graft.plans.GraftFunctions
   * candidate-volume reduction, which is the dominant cost ratio at scale.
   * The model deliberately ignores the Θ(n) bucketing pass and the
   * per-candidate verify constant; the `minSpeedup` margin in `suggest`
-  * absorbs them (measured at 100k vectors: a predicted ~8× candidate
-  * reduction realized 4.8–20.9× wall-clock — SCALE.md round 6).
+  * absorbs them (measured: predicted candidate reductions of 10²–10⁵
+  * realize as 3.6–31× wall-clock over a fair exact baseline at 100k–250k
+  * vectors — SCALE.md rounds 6–7, incl. the round-7 exact-baseline
+  * erratum).
   */
 final case class BandShapeAdvice(
     nTables: Int,
