@@ -330,7 +330,8 @@ object DedupOps extends QueryPack {
           .select($"v1", $"v2")
       } else {
         val (t, p) = SimilarityOps.bandShape(spark, "cosdedup", defTables = 8, defPlanes = 4)
-        val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = t, planesPerTable = p)
+        val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
+          probeBits = SimilarityOps.probeBitsOf(spark, "cosdedup", p))
         val near = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))

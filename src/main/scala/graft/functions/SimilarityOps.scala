@@ -76,17 +76,19 @@ object SimilarityOps extends QueryPack {
   private[graft] def bandShape(spark: SparkSession, key: String,
       defTables: Int, defPlanes: Int): (Int, Int) = {
     val s = spark.conf.get(s"graft.sim.bands.$key", s"${defTables}x$defPlanes")
-    s.toLowerCase.split("x") match {
-      // positivity is validated HERE so every route fails with the knob
-      // error — the minhash route would otherwise die deep in plan build
-      // (numHashes=0 → empty agg list) with an opaque NoSuchElementException
-      case Array(t, p) if t.trim.nonEmpty && p.trim.nonEmpty
-          && t.trim.forall(_.isDigit) && p.trim.forall(_.isDigit)
-          && t.trim.toInt > 0 && p.trim.toInt > 0 =>
-        (t.trim.toInt, p.trim.toInt)
-      case _ => sys.error(
-        s"graft.sim.bands.$key must be '<tables>x<planes>' with both positive, got '$s'")
+    // positivity (and parseability — toIntOption, so an all-digit value
+    // past Int range fails HERE too, not as a bare NumberFormatException)
+    // is validated at the knob so every route fails with the knob error —
+    // the minhash route would otherwise die deep in plan build
+    // (numHashes=0 → empty agg list) with an opaque NoSuchElementException
+    val parsed = s.toLowerCase.split("x") match {
+      case Array(ts, ps) =>
+        for (t <- ts.trim.toIntOption; p <- ps.trim.toIntOption
+             if t > 0 && p > 0) yield (t, p)
+      case _ => None
     }
+    parsed.getOrElse(sys.error(
+      s"graft.sim.bands.$key must be '<tables>x<planes>' with both positive ints, got '$s'"))
   }
 
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
@@ -421,8 +423,10 @@ object SimilarityOps extends QueryPack {
     * ([[bestCellCol]]) — the corpus is NEVER shuffled: the old
     * broadcast-join + groupBy(vec_id) form moved every (vec_id, embedding)
     * row through an Exchange just to re-assemble what was computable in
-    * place. The final search argmax is a partial-aggregable `max_by`
-    * grouped by q_id (one row per (query, partition) in the shuffle). The
+    * place. The final search argmax is `arg_max_long` grouped by q_id —
+    * a streaming partial→final HashAggregate, one row per (query,
+    * partition) in the shuffle (the struct-buffer `max_by` it replaced
+    * planned as SortAggregate; SCALE.md round 7). The
     * probe ranking stays a window: it runs on the tiny query side, not the
     * corpus.
     */

@@ -46,12 +46,6 @@ object ProfileDocsCrossover {
     c.map(_ / t)
   }
 
-  private def sampleWord(r: scala.util.Random): String = {
-    val u = r.nextDouble()
-    val i = java.util.Arrays.binarySearch(cum, u)
-    "w" + (if (i >= 0) i else -i - 1)
-  }
-
   def generateDocs(spark: SparkSession, n: Int, seed: Int = 13): String = {
     import spark.implicits._
     val nOrig = math.max(1, (n * OrigFrac).toInt)

@@ -59,14 +59,15 @@ object ProfileProbe {
     spark.conf.set("graft.sim.exact", "false")
     val rescues = sys.env.getOrElse("SPARK_GRAFT_PROBE_RESCUE", "0,0.8")
       .split(",").map(_.trim.toDouble).toSeq
-    for (shape <- shapes; m <- bits; r <- rescues) {
+    for (shape <- shapes; m0 <- bits) {
       // "auto" = the advisor picks the shape for THIS corpus and probe
       // setting (round 7, task: crossover rows where the shape came from
-      // suggest, not a human)
+      // suggest, not a human); hoisted above the rescue loop — the advice
+      // depends only on (shape, bits)
       val (t, p) =
         if (shape == "auto") {
-          val a = BandTuner.suggest(spark, dir, threshold = 0.96, probeBits = m)
-          println(f"PROBE advisor n=$n bits=$m shape=${a.shape} " +
+          val a = BandTuner.suggest(spark, dir, threshold = 0.96, probeBits = m0)
+          println(f"PROBE advisor n=$n bits=$m0 shape=${a.shape} " +
             f"predRecall=${a.predictedRecall}%.4f " +
             f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
           (a.nTables, a.planesPerTable)
@@ -74,6 +75,11 @@ object ProfileProbe {
           val Array(t0, p0) = shape.split("x").map(_.trim.toInt)
           (t0, p0)
         }
+      // clamp like the production knob does — a bits value past this
+      // shape's planes would otherwise measure the clamped route but then
+      // throw from pairRecallProbed AFTER the expensive timed run
+      val m = math.min(m0, p)
+      for (r <- rescues) {
       spark.conf.set("graft.sim.bands.samelabel", s"${t}x$p")
       spark.conf.set("graft.sim.probe.samelabel", m.toString)
       spark.conf.set("graft.sim.rescue.samelabel", r.toString)
@@ -108,6 +114,7 @@ object ProfileProbe {
         f"recall_bg=${bgHit.toDouble / bgN}%.4f(n=$bgN) " +
         f"recall_clustered=${clHit.toDouble / clN}%.4f " +
         f"pred(0.97)=$predTight%.4f pred(0.60)=$predLoose%.4f")
+      }
     }
     spark.stop()
   }

@@ -144,7 +144,8 @@ class ExactnessSpec extends SparkSpec {
     // every malformed value must die at bandShape with the knob's own
     // message — never deep in plan build (a 0x4 minhash shape used to
     // surface as a NoSuchElementException from an empty agg list)
-    for (bad <- Seq("0x4", "4x0", "-2x4", "x4", "4x", "abc", "4x4x4")) {
+    for (bad <- Seq("0x4", "4x0", "-2x4", "x4", "4x", "abc", "4x4x4",
+        "99999999999x2" /* all-digit but past Int range */)) {
       spark.conf.set("graft.sim.bands.minhash", bad)
       try {
         val e = intercept[RuntimeException](
