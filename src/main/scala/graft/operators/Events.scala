@@ -80,13 +80,21 @@ object Events extends QueryPack {
     */
   def firstEventPerUserType(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // partial-aggregable min_by (ordering struct = the (ts, event_id)
-    // tie-break): map-side combine keeps one candidate per key per
-    // partition — a window row_number would shuffle and sort every event
+    graft.plans.GraftFunctions.register(spark)
+    // argmin by (ts, event_id) via arg_max_long on the NEGATED epoch-μs
+    // timestamp: micros (~1.7e15) sit far below double's 2^53 integer-exact
+    // bound, so the negation is lossless and "max of -ts, ties to lowest
+    // id" IS "earliest ts, ties to lowest id". The min_by(struct, struct)
+    // form this replaces carried struct aggregation buffers → SortAggregate
+    // → the WHOLE event stream sorted per partition (the round-7
+    // SortAggregate finding, SCALE.md); this is a streaming partial→final
+    // HashAggregate — map-side combine keeps one candidate per key per
+    // partition, a window row_number would shuffle and sort every event.
     Tables.events(spark, dir)
       .groupBy($"user_id", $"event_type")
-      .agg(min_by(struct($"event_id", $"ts"), struct($"ts", $"event_id")).as("b"))
-      .select($"user_id", $"event_type", $"b.event_id".as("event_id"), $"b.ts".as("ts"))
+      .agg(expr("arg_max_long(event_id, -CAST(unix_micros(ts) AS DOUBLE))").as("b"))
+      .select($"user_id", $"event_type", $"b.id".as("event_id"),
+        timestamp_micros((-$"b.score").cast("long")).as("ts"))
       .orderBy($"user_id", $"event_type")
   }
 

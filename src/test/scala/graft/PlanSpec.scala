@@ -213,7 +213,8 @@ class PlanSpec extends SparkSpec {
     // composed form fails here, not on a production corpus.
     for (df <- Seq(
         graft.functions.SimilarityOps.nearestSameLabel(spark, sfDir),
-        graft.functions.SimilarityOps.annLsh(spark, sfDir))) {
+        graft.functions.SimilarityOps.annLsh(spark, sfDir),
+        graft.operators.Events.firstEventPerUserType(spark, sfDir))) {
       val plan = planOf(df)
       assert(!plan.contains("SortAggregate"),
         s"argmax fell back to sort-based aggregation:\n$plan")
