@@ -25,9 +25,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   *  - ties on score → lowest id (strict `<` on id at equal score);
   *  - NaN score ranks greatest (Spark's double comparison order), same as
   *    the struct-ordering max_by;
-  *  - null scores are ignored; a group with no non-null score yields null
-  *    (flagged by the id sentinel Long.MaxValue — ids are generated
-  *    non-negative row numbers everywhere in this engine, far below it).
+  *  - rows with a null score OR null id are ignored; a group with no
+  *    qualifying row yields null (flagged by the (−∞, Long.MaxValue)
+  *    sentinel pair — ids are generated non-negative row numbers
+  *    everywhere in this engine, far below the sentinel).
   */
 case class ArgMaxLong(id: Expression, score: Expression)
     extends DeclarativeAggregate {
@@ -53,7 +54,11 @@ case class ArgMaxLong(id: Expression, score: Expression)
     (s > bScore) || ((s === bScore) && (i < bId))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val cond = score.isNotNull && beats(score, id)
+    // null-id rows are ignored like null-score rows: a winning null id
+    // would otherwise be written into the non-nullable bId buffer slot
+    // (engine pipelines never produce one — ids are join keys — but a
+    // library aggregate must not corrupt its buffer on hostile input)
+    val cond = score.isNotNull && id.isNotNull && beats(score, id)
     Seq(If(cond, score, bScore), If(cond, id, bId))
   }
 

@@ -37,6 +37,15 @@ class ArgMaxLongSpec extends SparkSpec {
     assert(agg(Seq((1L, null), (2L, null))) == None)
   }
 
+  test("null ids are ignored too — a winning null id must not corrupt the buffer") {
+    GraftFunctions.register(spark)
+    val r = Seq((Some(2L), 0.4), (Option.empty[Long], 0.9))
+      .toDF("id", "score")
+      .agg(expr("arg_max_long(id, score)").as("b"))
+      .select($"b.id", $"b.score").head()
+    assert((r.getLong(0), r.getDouble(1)) == ((2L, 0.4)))
+  }
+
   test("matches max_by(struct, struct) row-for-row on random grouped data") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(5)
