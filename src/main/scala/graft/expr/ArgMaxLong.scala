@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CreateNamedStruct, Expression, If, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** arg_max_long(id, score) → struct<id: bigint, score: double>: the id
   * with the greatest score, ties to the LOWEST id — the (score desc, id
@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   *  - NaN score ranks greatest (Spark's double comparison order), same as
   *    the struct-ordering max_by;
   *  - rows with a null score OR null id are ignored; a group with no
-  *    qualifying row yields null (flagged by the (−∞, Long.MaxValue)
-  *    sentinel pair — ids are generated non-negative row numbers
-  *    everywhere in this engine, far below the sentinel).
+  *    qualifying row yields null, tracked by a dedicated boolean `seen`
+  *    buffer slot (still primitive, so HashAggregate eligibility is
+  *    unchanged) — NOT by a sentinel (score, id) pair, so a genuine input
+  *    row carrying (Long.MaxValue, −∞) is returned, not masked.
   */
 case class ArgMaxLong(id: Expression, score: Expression)
     extends DeclarativeAggregate {
@@ -41,15 +42,19 @@ case class ArgMaxLong(id: Expression, score: Expression)
 
   private lazy val bScore = AttributeReference("bScore", DoubleType, nullable = false)()
   private lazy val bId = AttributeReference("bId", LongType, nullable = false)()
+  private lazy val bSeen = AttributeReference("bSeen", BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bScore, bId)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bScore, bId, bSeen)
 
+  // the (−∞, MaxValue) init pair is arbitrary — bSeen=false is what marks
+  // the buffer empty; it merely keeps the first `beats` comparison cheap
+  // (any qualifying row wins against −∞ without a special case, except a
+  // literal −∞ score, which the !bSeen branch of `cond` admits)
   override lazy val initialValues: Seq[Expression] = Seq(
-    Literal(Double.NegativeInfinity), Literal(Long.MaxValue))
+    Literal(Double.NegativeInfinity), Literal(Long.MaxValue), Literal(false))
 
   // a candidate (s, i) beats the buffer iff s > bScore, or s == bScore and
-  // i < bId; the sentinel buffer loses to any real row because -Infinity
-  // loses to every score (including NaN, which Spark orders greatest)
+  // i < bId (Spark's double comparison: NaN greatest, NaN === NaN)
   private def beats(s: Expression, i: Expression): Expression =
     (s > bScore) || ((s === bScore) && (i < bId))
 
@@ -58,19 +63,22 @@ case class ArgMaxLong(id: Expression, score: Expression)
     // would otherwise be written into the non-nullable bId buffer slot
     // (engine pipelines never produce one — ids are join keys — but a
     // library aggregate must not corrupt its buffer on hostile input)
-    val cond = score.isNotNull && id.isNotNull && beats(score, id)
-    Seq(If(cond, score, bScore), If(cond, id, bId))
+    val qualifies = score.isNotNull && id.isNotNull
+    val cond = qualifies && (!bSeen || beats(score, id))
+    Seq(If(cond, score, bScore), If(cond, id, bId), bSeen || qualifies)
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     // right buffer's attributes address the partial being merged in
-    val cond = (bScore.right > bScore.left) ||
-      ((bScore.right === bScore.left) && (bId.right < bId.left))
-    Seq(If(cond, bScore.right, bScore.left), If(cond, bId.right, bId.left))
+    val cond = bSeen.right && (!bSeen.left ||
+      (bScore.right > bScore.left) ||
+      ((bScore.right === bScore.left) && (bId.right < bId.left)))
+    Seq(If(cond, bScore.right, bScore.left), If(cond, bId.right, bId.left),
+      bSeen.left || bSeen.right)
   }
 
   override lazy val evaluateExpression: Expression = If(
-    bId === Literal(Long.MaxValue) && bScore === Literal(Double.NegativeInfinity),
+    !bSeen,
     Literal.create(null, dataType),
     CreateNamedStruct(Seq(Literal("id"), bId, Literal("score"), bScore)))
 

@@ -330,8 +330,18 @@ object SimilarityOps extends QueryPack {
           // quadratic tail only: |unresolved| × label-slice, and unresolved
           // is the isolated minority, tunable by the knob. Eager
           // localCheckpoint so the banded subtree runs once for both the
-          // keep and the anti-join sides.
-          val resolved = banded.filter($"b.score" >= rescue).localCheckpoint(true)
+          // keep and the anti-join sides. NOTE the eager checkpoint makes
+          // BUILDING this DataFrame run the banded subtree as Spark jobs —
+          // construction is an action, not a free plan; callers that build
+          // the query twice (ProfileProbe per config) pay twice.
+          //
+          // NaN guard: Spark orders NaN greater than everything, so a NaN
+          // banded score (zero-norm embedding → cosine 0/0) would pass
+          // `>= rescue` and keep a meaningless answer; isnan() routes
+          // degenerate scores into the rescued tail with the misses.
+          val resolved = banded
+            .filter($"b.score" >= rescue && !isnan($"b.score"))
+            .localCheckpoint(true)
           // the unresolved probes are small BY the tier's premise (the
           // isolated tail; a fat tail means the corpus isn't LSH-friendly
           // and the advisor says stay exact) — broadcast them so the

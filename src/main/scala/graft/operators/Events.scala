@@ -90,6 +90,11 @@ object Events extends QueryPack {
     // SortAggregate finding, SCALE.md); this is a streaming partial→final
     // HashAggregate — map-side combine keeps one candidate per key per
     // partition, a window row_number would shuffle and sort every event.
+    // Null-ts rule: arg_max_long ignores null-score rows, so an event with
+    // a null ts never wins (the old min_by struct ordering let null-ts
+    // rows sort first and win). Engine event data is non-null-ts, so
+    // results are identical; on hostile data "earliest" here means
+    // earliest NON-NULL timestamp.
     Tables.events(spark, dir)
       .groupBy($"user_id", $"event_type")
       .agg(expr("arg_max_long(event_id, -CAST(unix_micros(ts) AS DOUBLE))").as("b"))

@@ -58,7 +58,9 @@ object ProfileCrossover {
     * model realistic near-dup corpora (round 7 measures 5% alongside).
     */
   val BgFrac: Double = sys.env.get("SPARK_GRAFT_CROSSOVER_BG")
-    .map(_.toDouble).getOrElse(0.15)
+    .map(s => s.toDoubleOption.getOrElse(sys.error(
+      s"SPARK_GRAFT_CROSSOVER_BG must be a fraction, got '$s'")))
+    .getOrElse(0.15)
   val ClusterSize = 50
   val NLabels = 8
   /** Default 8 tables × 8 planes: 256 buckets per table — the first

@@ -35,7 +35,9 @@ object ProfileDocsCrossover {
     * SPARK_GRAFT_DOCSX_ZIPF to measure that regime.
     */
   val ZipfS: Double = sys.env.get("SPARK_GRAFT_DOCSX_ZIPF")
-    .map(_.toDouble).getOrElse(0.7)
+    .map(s => s.toDoubleOption.getOrElse(sys.error(
+      s"SPARK_GRAFT_DOCSX_ZIPF must be a Zipf exponent, got '$s'")))
+    .getOrElse(0.7)
   val OrigFrac = 0.7
   val MutateP = 0.05
 

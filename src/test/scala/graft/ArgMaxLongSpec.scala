@@ -46,6 +46,19 @@ class ArgMaxLongSpec extends SparkSpec {
     assert((r.getLong(0), r.getDouble(1)) == ((2L, 0.4)))
   }
 
+  test("a genuine (Long.MaxValue, -Infinity) row is returned, not masked") {
+    // the old implementation flagged the empty buffer with exactly this
+    // sentinel pair, so such a row evaluated to null and could be
+    // shadow-masked; the boolean `seen` slot makes it a real answer
+    assert(agg(Seq((Long.MaxValue, Double.NegativeInfinity))) ==
+      Some((Long.MaxValue, Double.NegativeInfinity)))
+    // and it loses to any better row, but masks nothing when it wins
+    assert(agg(Seq((Long.MaxValue, Double.NegativeInfinity), (1L, 0.0))) ==
+      Some((1L, 0.0)))
+    assert(agg(Seq((4L, Double.NegativeInfinity), (2L, Double.NegativeInfinity))) ==
+      Some((2L, Double.NegativeInfinity)))
+  }
+
   test("matches max_by(struct, struct) row-for-row on random grouped data") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(5)
