@@ -315,7 +315,8 @@ object SimilarityOps extends QueryPack {
           cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
             .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
             .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2")))
-        val rescue = rescueOf(spark, "samelabel")
+        val key = "samelabel"
+        val rescue = rescueOf(spark, key)
         if (rescue <= 0.0) banded
         else {
           // Rescue tier: top-1 retrieval has no threshold to hide behind —
@@ -342,16 +343,38 @@ object SimilarityOps extends QueryPack {
           val resolved = banded
             .filter($"b.score" >= rescue && !isnan($"b.score"))
             .localCheckpoint(true)
-          // the unresolved probes are small BY the tier's premise (the
-          // isolated tail; a fat tail means the corpus isn't LSH-friendly
-          // and the advisor says stay exact) — broadcast them so the
-          // label-slice scan streams the corpus at full parallelism
-          // instead of shuffling it onto |labels| reducers. Safe to hint:
-          // `resolved` is an eager localCheckpoint, so the broadcast ships
-          // materialized rows, not a pending aggregation subtree.
-          val probes = broadcast(
+          // GUARD (round 8): the tier's premise — unresolved probes are
+          // the isolated MINORITY — was previously unenforced, so a
+          // mis-set floor on an LSH-hostile corpus silently broadcast
+          // most of the corpus (a driver/executor-memory bomb). Both
+          // counts are cheap here: `resolved` is already materialized and
+          // the corpus count is a pruned parquet scan. Above the refusal
+          // knob the tier fails loud, naming the advisor; between the
+          // broadcast-safe bound and the knob it degrades to a shuffled
+          // rescue join instead of a broadcast.
+          val total = e.count()
+          val unresolved = total - resolved.count()
+          val frac = if (total == 0) 0.0 else unresolved.toDouble / total
+          val maxFrac = rescueMaxFracOf(spark, key)
+          if (frac > maxFrac) sys.error(
+            f"rescue tier: $unresolved of $total vectors (${frac * 100}%.1f%% > " +
+              f"graft.sim.rescue.maxfrac.$key=$maxFrac%.2f) fell below the " +
+              s"confidence floor graft.sim.rescue.$key=$rescue — the banded " +
+              "index shape does not fit this corpus. Re-shape with " +
+              s"BandTuner.suggest (graft.sim.bands.$key / " +
+              s"graft.sim.probe.$key), lower the rescue floor, or raise " +
+              s"graft.sim.rescue.maxfrac.$key to accept a shuffled " +
+              "(non-broadcast) rescue join.")
+          // broadcast only while the tail honors the premise; a fatter
+          // (but knob-accepted) tail ships through a shuffle join, which
+          // is slower but cannot exhaust driver/executor memory. Safe to
+          // hint: `resolved` is an eager localCheckpoint, so the broadcast
+          // ships materialized rows, not a pending aggregation subtree.
+          val probesBase =
             e.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti")
-              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"))
+              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
+          val probes =
+            if (frac <= BroadcastSafeRescueFrac) broadcast(probesBase) else probesBase
           val tail = probes
             .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label"), Seq("label"))
             .filter($"v1" =!= $"v2")
@@ -371,6 +394,32 @@ object SimilarityOps extends QueryPack {
     * construction; residual misses need BOTH a missed true neighbor AND a
     * spurious confident stand-in above the floor.
     */
+  /** Broadcast-safety bound for the rescue tail — the engineering limit of
+    * the "isolated minority" premise, independent of what fraction the
+    * refusal knob accepts: past it the tail ships via shuffle join even
+    * when the run is allowed to proceed, because broadcasting a
+    * corpus-proportional set is a memory bomb at any knob setting.
+    */
+  val BroadcastSafeRescueFrac = 0.05
+
+  /** Refusal knob, `graft.sim.rescue.maxfrac.<key>` = largest unresolved
+    * fraction the rescue tier will run with (default
+    * [[BroadcastSafeRescueFrac]]). Above it the tier fails with an error
+    * naming [[BandTuner.suggest]] rather than paying a corpus-proportional
+    * exact re-scan the advisor would have rejected; raising the knob past
+    * the broadcast-safe bound swaps the broadcast for a shuffle join, so
+    * accepting a fat tail costs time, never memory.
+    */
+  private[graft] def rescueMaxFracOf(spark: SparkSession, key: String): Double = {
+    val raw = spark.conf.get(s"graft.sim.rescue.maxfrac.$key",
+      BroadcastSafeRescueFrac.toString)
+    val v = raw.toDoubleOption.getOrElse(sys.error(
+      s"graft.sim.rescue.maxfrac.$key must be a fraction in [0, 1], got '$raw'"))
+    require(v >= 0.0 && v <= 1.0,
+      s"graft.sim.rescue.maxfrac.$key must be a fraction in [0, 1], got $v")
+    v
+  }
+
   private[graft] def rescueOf(spark: SparkSession, key: String): Double = {
     val raw = spark.conf.get(s"graft.sim.rescue.$key", "0")
     val v = raw.toDoubleOption.getOrElse(sys.error(

@@ -64,6 +64,10 @@ class ExactnessSpec extends SparkSpec {
     val exact = rowsOf(SimilarityOps.nearestSameLabel(spark, sfDir))
     spark.conf.set("graft.sim.bands.samelabel", "4x4")
     spark.conf.set("graft.sim.rescue.samelabel", "0.999")
+    // floor 0.999 rescues nearly every vector, far past the default 5%
+    // refusal knob — accept it, which also pins the SHUFFLE-join rescue
+    // path (the broadcast hint is dropped past BroadcastSafeRescueFrac)
+    spark.conf.set("graft.sim.rescue.maxfrac.samelabel", "1.0")
     try {
       // floor 0.999 rescues nearly every vector → answer is exact by
       // construction; this pins the tier's plumbing (anti-join coverage,
@@ -74,6 +78,45 @@ class ExactnessSpec extends SparkSpec {
     } finally {
       spark.conf.unset("graft.sim.bands.samelabel")
       spark.conf.unset("graft.sim.rescue.samelabel")
+      spark.conf.unset("graft.sim.rescue.maxfrac.samelabel")
+    }
+  }
+
+  test("rescue tier refuses an LSH-hostile corpus instead of broadcasting it") {
+    // all-isolated corpus: 40 random unit vectors have pairwise cosines
+    // near 0, so with a 0.9 confidence floor EVERY banded answer is
+    // unconfident → unresolved fraction ≈ 1 ≫ the default 5% refusal
+    // knob. Before round 8 this silently broadcast the whole corpus (the
+    // driver-memory bomb the r7 verdict flagged); now it must fail at
+    // build time with an error naming the advisor.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile").toString
+    val rnd = new scala.util.Random(23)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(SimilarityOps.Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    import spark.implicits._
+    Seq.tabulate(40)(i => (i.toLong, unit(), i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("graft.sim.rescue.samelabel", "0.9")
+    try {
+      val err = intercept[RuntimeException] {
+        withCandidatePath(SimilarityOps.nearestSameLabel(spark, dir))
+      }
+      assert(err.getMessage.contains("BandTuner.suggest"), err.getMessage)
+      assert(err.getMessage.contains("graft.sim.rescue.maxfrac.samelabel"), err.getMessage)
+      // raising the refusal knob accepts the fat tail — through the
+      // SHUFFLED rescue join — and the answer equals exact by construction
+      spark.conf.set("graft.sim.rescue.maxfrac.samelabel", "1.0")
+      val exact = rowsOf(SimilarityOps.nearestSameLabel(spark, dir))
+      val rescued = withCandidatePath(rowsOf(SimilarityOps.nearestSameLabel(spark, dir)))
+      assert(exact.size == 40 && rescued == exact,
+        s"missing=${exact.toSet -- rescued.toSet} spurious=${rescued.toSet -- exact.toSet}")
+    } finally {
+      spark.conf.unset("graft.sim.rescue.samelabel")
+      spark.conf.unset("graft.sim.rescue.maxfrac.samelabel")
     }
   }
 
