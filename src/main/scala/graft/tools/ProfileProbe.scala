@@ -57,6 +57,14 @@ object ProfileProbe {
     println(f"PROBE n=$n exact=$tExact%7.2fs rows=$nExact")
 
     spark.conf.set("graft.sim.exact", "false")
+    // the measurement sweeps rescue floors whose unresolved fraction
+    // exceeds the production refusal knob (the 15%-background corpus at
+    // rescue 0.6 unresolves ~15% — exactly what the round-8 guard
+    // refuses by default); accept everything here so the sweep can PRICE
+    // those configurations. Past BroadcastSafeRescueFrac the engine
+    // routes them through the shuffled rescue join, so the timings below
+    // are the post-guard production path for fat tails.
+    spark.conf.set("graft.sim.rescue.maxfrac.samelabel", "1.0")
     val rescues = sys.env.getOrElse("SPARK_GRAFT_PROBE_RESCUE", "0,0.8")
       .split(",").map(_.trim.toDouble).toSeq
     for (shape <- shapes; m0 <- bits) {
