@@ -26,19 +26,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see Verify/Bench/Session builders); here the long is converted to a
-    * proper TimestampType via integer division (ns epoch > 2^53, so a
-    * double-typed division would silently lose precision — `div` keeps it
-    * integral). Sub-microsecond parts are zero in the driver's data.
+  /** events.ts physical type has drifted across driver testdata
+    * regenerations: TIMESTAMP(NANOS) (read as ns-long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) through round 7, then
+    * TIMESTAMP(MICROS) from round 8 on. Dispatch on the read dtype so BOTH
+    * generations load:
+    *  - LongType → the nanos shim `timestamp_micros(ts div 1000)` (integer
+    *    `div`, not `/`: ns epoch > 2^53, double division loses precision;
+    *    sub-microsecond parts are zero in the driver's data);
+    *  - TimestampType → already what downstream wants;
+    *  - TimestampNTZType → cast to session-local TimestampType. Sessions
+    *    run UTC (Verify/Bench/Session builders), so NTZ→LTZ is the identity
+    *    on the stored micros value and `window()`/`unix_micros`/watermark
+    *    semantics are unchanged from the shim era.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // defensive: make the read work on ANY session, not just graft-built
-    // ones (the conf is runtime-settable and required for NANOS parquet)
+    // defensive: make a NANOS-era read work on ANY session, not just
+    // graft-built ones (runtime-settable; harmless no-op on MICROS files)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
+  }
+
+  /** The ts-normalization expression for a given read dtype — shared with
+    * the streaming source ([[graft.streaming.EventStreams.fileSource]]) so
+    * batch and stream can never disagree on the conversion.
+    */
+  def normalizeTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType          => expr("timestamp_micros(ts div 1000)")
+      case TimestampType     => col("ts")
+      case TimestampNTZType  => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected read type $other — testdata schema drifted " +
+          "again; extend graft.core.Tables.normalizeTs for the new physical type")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -47,5 +71,10 @@ object Tables {
     * DuckDB oracle text closely.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      // events goes through the typed loader so SQL-text users see the
+      // normalized TimestampType ts regardless of the stored physical type
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -20,8 +20,11 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** Raw events as a stream from parquet files (ts arrives as ns-long —
-    * same conversion as Tables.events).
+  /** Raw events as a stream from parquet files. The stored `ts` physical
+    * type has drifted across testdata regenerations (ns-long through r7,
+    * TIMESTAMP(MICROS) from r8) — normalize with the SAME dtype dispatch as
+    * the batch loader ([[graft.core.Tables.normalizeTs]]) so the two faces
+    * can never disagree.
     */
   def fileSource(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -30,7 +33,7 @@ object EventStreams {
       // the file source wants a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.core.Tables.normalizeTs(batchSchema("ts").dataType))
   }
 
   /** Tumbling 10-minute counts with a 20-minute watermark — works on a
