@@ -137,6 +137,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
       s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
     println(line)
+    // LOUD failure surface (round-8 lesson: three headline queries silently
+    // reported the -1.0 sentinel for a whole round). Named on stdout next to
+    // the JSON so any reader of the bench output sees the breakage.
+    val benchFailed = (results ++ bandedResults).collect { case (n, v, _) if v < 0 => n }
+    if (benchFailed.nonEmpty)
+      println(s"[bench-FAILED] ${benchFailed.size} queries errored: ${benchFailed.mkString(", ")}")
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
     // parse in round 1 — also write the line to a file it can read directly
     // (cwd and, when launched elsewhere, the known repo root). Both copies

@@ -28,15 +28,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // driver contract: result at outDir/<name>.parquet (a parquet directory
     // with that exact name, so both dir-globbing and direct reads find it)
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+    val failed = attempted.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
-      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -72,6 +75,18 @@ object Verify {
     if (Files.isDirectory(repoRoot) && !Files.isSameFile(
         repoRoot, Paths.get("").toAbsolutePath))
       tryWrite(repoRoot.resolve("oracle_sql.json"))
+    // LOUD failure summary (round-8 lesson: a 30-query loader regression
+    // shipped silently because failures were only stderr-logged per query).
+    // One summary line on stdout AND a file next to the parquets, then a
+    // nonzero exit when anything failed — the driver still gets every
+    // successful parquet plus oracle_sql.json, written above.
+    val summary = s"""{"attempted":${attempted.size},"failed":${failed.size},""" +
+      s""""failed_names":${failed.map(q).mkString("[", ",", "]")}}"""
+    println(s"[verify-summary] $summary")
+    try Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] summary write skipped: ${e.getMessage}") }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
