@@ -1,0 +1,122 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** minhash_sig(normalized_text, numHashes) → array<long>: the document's
+  * complete MinHash signature (mh_0..mh_{numHashes-1}) in ONE pass over the
+  * text bytes — no shingle explode, no per-doc aggregation, no shuffle.
+  *
+  * Exists for the same reason as [[LshBuckets]] on the embedding side: the
+  * composed form pays row amplification. `shingledOf` explodes ~one row per
+  * token (a 100 TB corpus becomes a multi-PB shingle stream), and the
+  * 16-way `min` groupBy that follows is the ONLY corpus-wide shuffle on the
+  * MinHash candidate path. This kernel computes the same signature inside
+  * the scan's whole-stage codegen, so the first shuffle on the path becomes
+  * the (band,bucket) groupBy over `bands` rows per doc.
+  *
+  * BIT-COMPATIBILITY CONTRACT (MinhashSigSpec asserts it on the fixtures
+  * and on adversarial token shapes): output equals the composed pipeline
+  * `min(xxhash64(xxhash64(shingle), lit(i)))` over `shingledOf`'s 3-token
+  * shingles, exactly. The input MUST already be [[DedupOps.normText]]-
+  * normalized (single-space separated); the kernel then reproduces the
+  * composed chain byte-for-byte:
+  *  - `split(text, " ")` with Java limit -1 semantics == byte segments
+  *    between 0x20 bytes (0x20 never occurs inside a multi-byte UTF-8
+  *    sequence, so the byte scan is exact), empty segments included;
+  *  - shingle i = `concat_ws(" ", slice(toks, i, 3))` == the original byte
+  *    range from token i's start to token min(i+2, last)'s end, because the
+  *    joiner equals the separator;
+  *  - shingle count = max(numToks - 2, 1) (short docs yield one short
+  *    shingle, matching `greatest(size - 2, 1)`);
+  *  - hash chain: h = XXH64(bytes, seed 42) (Spark's `xxhash64(string)`),
+  *    then per function i: XXH64.hashInt(i, XXH64.hashLong(h, 42)) (Spark's
+  *    `xxhash64(longCol, lit(i))` fold order), `min` over shingles.
+  *
+  * Null text produces a null signature (nullIntolerant). The composed path
+  * keeps a null-text doc WITH one empty shingle (`greatest(null,1)` is 1
+  * and `concat_ws` of a null array is ""), so callers match it by feeding
+  * `coalesce(normalized, '')` — the empty string produces the identical
+  * one-empty-shingle signature (see [[graft.functions.DedupOps.minhashSigsOf]]).
+  */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0 && numHashes <= 1024, s"minhash_sig: bad numHashes $numHashes")
+
+  override def prettyName: String = "minhash_sig"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinhashSig.compute(input.asInstanceOf[UTF8String], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // one static call per row keeps the expression inside whole-stage
+    // codegen (no CodegenFallback iterator break); the loop itself is
+    // hash-dominated, so JIT inlining of the helper is not load-bearing
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.expr.MinhashSig.compute($x, $numHashes));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  private final val Seed = 42L // Spark's xxhash64 default seed
+
+  /** One-pass signature over a normalized text's bytes. See the class doc
+    * for the exact composed-pipeline chain this reproduces.
+    */
+  def compute(s: UTF8String, numHashes: Int): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    // token starts: one at 0, one after every 0x20 byte
+    var numToks = 1
+    var p = 0
+    while (p < n) {
+      if (Platform.getByte(base, off + p) == 0x20) numToks += 1
+      p += 1
+    }
+    // starts(j) = byte index of token j; starts(numToks) = n + 1 sentinel so
+    // tokEnd(j) = starts(j + 1) - 1 holds for the last token too
+    val starts = new Array[Int](numToks + 1)
+    var j = 1
+    p = 0
+    while (p < n) {
+      if (Platform.getByte(base, off + p) == 0x20) { starts(j) = p + 1; j += 1 }
+      p += 1
+    }
+    starts(numToks) = n + 1
+    val nShingles = math.max(numToks - 2, 1)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var sh = 0
+    while (sh < nShingles) {
+      val start = starts(sh)
+      val lastTok = math.min(sh + 2, numToks - 1)
+      val end = starts(lastTok + 1) - 1
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed)
+      val seeded = XXH64.hashLong(h, Seed)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, seeded)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      sh += 1
+    }
+    mins
+  }
+}

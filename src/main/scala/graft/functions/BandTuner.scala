@@ -282,7 +282,9 @@ object BandTuner {
       val mass =
         if (s < 2) 0.0
         else DedupOps.bandBuckets(
-            DedupOps.minhashSignatures(DedupOps.shingledOf(sample), bands * rows),
+            // the kernel path IS the deployed path (minhashCandidatesPlan),
+            // so the priced bucketing stays the deployed bucketing
+            DedupOps.minhashSigsOf(sample, bands * rows),
             bands, rows)
           .groupBy($"bb").count()
           .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))

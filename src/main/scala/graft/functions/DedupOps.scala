@@ -38,12 +38,13 @@ object DedupOps extends QueryPack {
   private[functions] def contentSha: Column = sha2(normText, 256)
 
   /** doc_id → 3-token shingles (exploded, WITH duplicates — narrow, no
-    * shuffle) for any frame with (doc_id, text). Shared with
-    * [[BandTuner.suggestMinhash]]'s cost sample so the priced shingling is
-    * the deployed shingling. Callers that need set semantics apply
-    * `.distinct()` on the (much smaller) slice they actually need.
+    * shuffle) for any frame with (doc_id, text). Used by the exact-verify
+    * slice ([[jaccardStats]]), the exact self-join baseline, and the
+    * composed reference form the `minhash_sig` kernel is spec-checked
+    * against. Callers that need set semantics apply `.distinct()` on the
+    * (much smaller) slice they actually need.
     */
-  private[functions] def shingledOf(docs: DataFrame): DataFrame =
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(normText, " ").as("toks"))
       .select(col("doc_id"), explode(transform(
@@ -120,23 +121,48 @@ object DedupOps extends QueryPack {
   private[graft] def minhashShape(spark: SparkSession): (Int, Int) =
     SimilarityOps.bandShape(spark, "minhash", defTables = NumBands, defPlanes = BandRows)
 
-  /** MinHash signatures mh_0..mh_{n-1}. Each shingle STRING is hashed once
-    * (xxhash64); the n hash functions re-hash that single long with the
-    * function index — a fixed-width long hash is far cheaper than hashing
-    * the variable-length string n×, and unlike a linear h1+i·h2 family the
-    * re-hash keeps the functions independent across LSH bands (a linear
-    * family measurably lost recall on the planted pairs).
-    * `min` is duplicate-insensitive, so this consumes the RAW shingle
-    * stream: the aggregation is fully map-combinable (partial min per
-    * partition), and the only corpus-wide shuffle moves ~1 row × n longs
-    * per (doc, partition), not the exploded shingles.
+  /** MinHash signatures mh_0..mh_{n-1}, COMPOSED REFERENCE FORM. Each
+    * shingle STRING is hashed once (xxhash64); the n hash functions re-hash
+    * that single long with the function index — a fixed-width long hash is
+    * far cheaper than hashing the variable-length string n×, and unlike a
+    * linear h1+i·h2 family the re-hash keeps the functions independent
+    * across LSH bands (a linear family measurably lost recall on the
+    * planted pairs). `min` is duplicate-insensitive, so this consumes the
+    * RAW shingle stream: the aggregation is fully map-combinable.
+    *
+    * The DEPLOYED path is [[minhashSigsOf]] — the `minhash_sig` native
+    * kernel computing the identical signature in one pass per document,
+    * with no shingle explode and no shuffle at all. This composed form
+    * remains as the semantic definition the kernel is spec-checked against
+    * (MinhashSigSpec asserts bit-equality on the fixtures and on
+    * adversarial token shapes).
     */
-  private[functions] def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val h = xxhash64(col("shingle"))
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(h, lit(i))).as(s"mh_$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** doc_id → mh_0..mh_{n-1} via the one-pass `minhash_sig` kernel
+    * ([[graft.expr.MinhashSig]]): signature computed inside the scan's
+    * whole-stage codegen — no shingle explode (row amplification ~one per
+    * token) and, unlike [[minhashSignatures]]'s groupBy, NO corpus-wide
+    * shuffle. The first shuffle on the candidate path becomes the
+    * (band,bucket) groupBy over `bands` rows per doc. Bit-identical to the
+    * composed form by the kernel's compatibility contract.
+    */
+  private[graft] def minhashSigsOf(docs: DataFrame, numHashes: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      // composed-path parity: a null text still yields ONE empty shingle
+      // there (greatest(null,1)=1 and concat_ws on a null array is ""), so
+      // feed the kernel "" — identical signature, doc retained
+      .select(col("doc_id"),
+        call_function("minhash_sig", coalesce(normText, lit("")), lit(numHashes)).as("sig"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
 
   /** (doc_id, bb) band-bucket memberships from a signature frame: band b's
@@ -161,13 +187,15 @@ object DedupOps extends QueryPack {
     * stronger check than rows-only: it pins that the sketch path returns
     * exactly the right pairs, not just the right number of them.
     *
-    * Shuffle budget (the 100 TB view): the ONLY corpus-wide shuffle is the
-    * map-combined signature groupBy (≤ numPartitions rows per doc in
-    * flight). Everything downstream — band bucketing, candidate pairing,
-    * distinct-shingle sets, Jaccard sizes and intersections — runs on the
-    * candidate slice only, reached by broadcasting the candidate doc-id set
-    * into a semi-join against the (re-scanned, narrow) shingle stream.
-    * Banding exists precisely to make that slice tiny relative to corpus.
+    * Shuffle budget (the 100 TB view): signatures are computed by the
+    * one-pass `minhash_sig` kernel inside the scan — ZERO corpus-wide
+    * shuffle on the whole candidate path (the first shuffle is the
+    * (band,bucket) groupBy over `bands` rows per doc). Everything
+    * downstream — candidate pairing, distinct-shingle sets, Jaccard sizes
+    * and intersections — runs on the candidate slice only, reached by
+    * broadcasting the candidate doc-id set into a semi-join against the
+    * (re-scanned, narrow) shingle stream. Banding exists precisely to make
+    * that slice tiny relative to corpus.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -178,8 +206,8 @@ object DedupOps extends QueryPack {
   }
 
   /** Band-bucket candidate (d1 < d2) pairs from the MinHash signatures —
-    * the ONLY corpus-wide shuffle on this path is the map-combined
-    * signature groupBy inside [[minhashSignatures]].
+    * signature computation is shuffle-free ([[minhashSigsOf]]); the first
+    * shuffle on this path is the (band,bucket) groupBy below.
     */
   private def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
     // eager localCheckpoint instead of CacheManager .cache(): the pair set
@@ -198,7 +226,7 @@ object DedupOps extends QueryPack {
   private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (bands, rows) = minhashShape(spark)
-    val sigs = minhashSignatures(shingledRaw(spark, dir), bands * rows)
+    val sigs = minhashSigsOf(Tables.documents(spark, dir), bands * rows)
     bandBuckets(sigs, bands, rows)
       .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
       .filter(size($"docs") > 1)

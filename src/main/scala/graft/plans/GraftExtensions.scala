@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes, MinhashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,17 @@ object GraftFunctions {
         }
         LshProbes(args.head, intLit(args(1), "nTables"),
           intLit(args(2), "planesPerTable"), intLit(args(3), "probeBits"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig takes (normalized_text, numHashes)")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be an integer literal, got $other")
+        }
+        MinhashSig(args.head, n)
       }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),

@@ -1,0 +1,95 @@
+package graft
+
+import graft.expr.MinhashSig
+import graft.functions.DedupOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bit-compatibility of the one-pass `minhash_sig` kernel with the composed
+  * reference pipeline (shingle explode → xxhash64 chain → 16-way min
+  * groupBy). The kernel replaces the composed form on the deployed
+  * candidate path, so equality here is what keeps every MinHash oracle and
+  * recall measurement valid unchanged.
+  */
+class MinhashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NumHashes = 16
+
+  /** Composed-pipeline signature for (doc_id, text) rows. */
+  private def composed(docs: org.apache.spark.sql.DataFrame) =
+    DedupOps.minhashSignatures(DedupOps.shingledOf(docs), NumHashes)
+
+  private def kernel(docs: org.apache.spark.sql.DataFrame) =
+    DedupOps.minhashSigsOf(docs, NumHashes)
+
+  private def assertEqualSigs(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val cols = (0 until NumHashes).map(i => s"mh_$i")
+    val c = composed(docs).orderBy($"doc_id").collect()
+    val k = kernel(docs).orderBy($"doc_id").collect()
+    assert(c.length == k.length,
+      s"row counts differ: composed ${c.length}, kernel ${k.length}")
+    c.zip(k).foreach { case (cr, kr) =>
+      assert(cr.getLong(0) == kr.getLong(0), "doc_id order mismatch")
+      cols.indices.foreach { i =>
+        assert(cr.getLong(i + 1) == kr.getLong(i + 1),
+          s"doc ${cr.getLong(0)} ${cols(i)}: composed ${cr.getLong(i + 1)} " +
+            s"!= kernel ${kr.getLong(i + 1)}")
+      }
+    }
+  }
+
+  test("kernel signatures equal the composed pipeline on the documents fixture") {
+    assertEqualSigs(graft.core.Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+  }
+
+  test("kernel signatures equal the composed pipeline on adversarial token shapes") {
+    // shapes that exercise every branch of the shingle-boundary logic:
+    // empty text, 1/2/3/4 tokens, leading/trailing whitespace the
+    // normalizer turns into empty tokens, multi-space collapse, unicode
+    // multi-byte tokens, and a long repetitive doc
+    val docs = Seq(
+      (1L, ""),
+      (2L, "one"),
+      (3L, "one two"),
+      (4L, "one two three"),
+      (5L, "one two three four"),
+      (6L, "  leading and   multiple   spaces  "),
+      (7L, "\ttab\tseparated\ttokens\t"),
+      (8L, "ünïcödé tökens über ällés"),
+      (9L, "MiXeD Case TEXT Gets Lowered"),
+      (10L, Seq.fill(500)("repeat me often").mkString(" "))
+    ).toDF("doc_id", "text")
+    assertEqualSigs(docs)
+  }
+
+  test("null text yields the same one-empty-shingle signature on both paths") {
+    // the composed pipeline KEEPS null-text docs: greatest(null,1)=1 gives
+    // one shingle index and concat_ws over the null token array is "" —
+    // the kernel reproduces this via coalesce(normText, '')
+    val docs = Seq((1L, "some text here"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    assertEqualSigs(docs)
+    // and null/empty texts collapse to the same signature
+    val sigs = kernel(docs).orderBy($"doc_id").collect()
+    (1 until NumHashes + 1).foreach { i =>
+      assert(sigs(1).getLong(i) == sigs(2).getLong(i),
+        "null and empty text must share the empty-shingle signature")
+    }
+  }
+
+  test("compute matches Spark's xxhash64 chain on a hand-built shingle") {
+    // one 3-token doc = one shingle = the whole normalized string; pin the
+    // hash chain itself (seed 42, string hash, hashLong then hashInt fold)
+    val text = "alpha beta gamma"
+    val viaSpark = spark.range(1)
+      .select((0 until NumHashes).map(i =>
+        xxhash64(xxhash64(lit(text)), lit(i)).as(s"h_$i")): _*)
+      .head
+    val viaKernel = MinhashSig.compute(UTF8String.fromString(text), NumHashes)
+    (0 until NumHashes).foreach { i =>
+      assert(viaSpark.getLong(i) == viaKernel(i),
+        s"hash fn $i: spark ${viaSpark.getLong(i)} != kernel ${viaKernel(i)}")
+    }
+  }
+}
