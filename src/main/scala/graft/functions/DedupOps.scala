@@ -292,13 +292,28 @@ object DedupOps extends QueryPack {
       .select(col("doc_id"), sig.as("sig"))
   }
 
+  /** doc_id → 64-bit SimHash signature via the one-pass `simhash_sig`
+    * kernel ([[graft.expr.SimhashSig]]): computed inside the scan — no
+    * token explode and NEITHER of the composed form's two corpus-wide
+    * shuffles (the (doc,token) count groupBy and the 64-vote groupBy).
+    * Bit-identical by the kernel's compatibility contract (SimhashSigSpec);
+    * the `text IS NOT NULL` filter mirrors the composed form, where a null
+    * text explodes to nothing and the doc never reaches the frame.
+    */
+  private[graft] def simhashSigsOf(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), call_function("simhash_sig", normText).as("sig"))
+  }
+
   /** SimHash index table (doc_id → signature hex), the artifact a
     * hamming-distance pairing job consumes. Hash-gated: the DuckDB oracle
     * rebuilds the md5-derived signature bit-for-bit (see [[simhashSig]]).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    simhashSig(Tables.documents(spark, dir))
+    simhashSigsOf(Tables.documents(spark, dir))
       .select($"doc_id", lower(lpad(hex($"sig"), 16, "0")).as("simhash_hex"))
       .orderBy($"doc_id")
   }
@@ -318,7 +333,7 @@ object DedupOps extends QueryPack {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = simhashSig(Tables.documents(spark, dir))
+    val sigs = simhashSigsOf(Tables.documents(spark, dir))
     val banded = sigs.select($"doc_id", $"sig",
         explode(array((0 until SimhashBands).map { t =>
           struct(lit(t).as("band"),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes, MinhashSig}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes, MinhashSig, SimhashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,12 @@ object GraftFunctions {
             s"minhash_sig: numHashes must be an integer literal, got $other")
         }
         MinhashSig(args.head, n)
+      }),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_sig takes (normalized_text)")
+        SimhashSig(args.head)
       }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
