@@ -58,7 +58,17 @@ object Tables {
     dt match {
       case LongType          => expr("timestamp_micros(ts div 1000)")
       case TimestampType     => col("ts")
-      case TimestampNTZType  => col("ts").cast(TimestampType)
+      case TimestampNTZType  =>
+        // NTZ→LTZ cast reinterprets the stored micros in the session TZ; it
+        // is value-preserving ONLY under UTC. All graft-built sessions pin
+        // UTC, but a foreign caller session would silently shift every ts —
+        // fail loudly instead.
+        val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00",
+          s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz; " +
+            "the NTZ->LTZ cast is only value-preserving under UTC. Set " +
+            "spark.sql.session.timeZone=UTC (graft sessions do) before loading events.")
+        col("ts").cast(TimestampType)
       case other => throw new IllegalStateException(
         s"events.ts: unexpected read type $other — testdata schema drifted " +
           "again; extend graft.core.Tables.normalizeTs for the new physical type")

@@ -5,8 +5,9 @@
 # builder's ritual checked pieces (a spec here, a query there) instead of
 # the whole contract. This script runs the contract end-to-end at the
 # fast scale factor and fails loudly on ANY regression:
-#   1. sbt test            — 148 specs incl. AnalysisGuardSpec (schema
-#                            drift guard + all-query analysis sweep)
+#   1. sbt test            — every spec suite incl. AnalysisGuardSpec
+#                            (schema drift guard + all-query analysis
+#                            sweep); live counts echoed from sbt output
 #   2. graft.Verify sf0.001 — every registered query executes and dumps
 #   3. tools/check.py      — DuckDB oracle compare (rows/schema/hash)
 #
@@ -27,10 +28,16 @@ grep -E "Tests:|All tests passed" "$TESTLOG" | tail -2
 rm -f "$TESTLOG"
 
 echo "== gate: Verify sf$SF"
-sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
+# Clear any previous run's output FIRST: a crashed Verify (compile error,
+# OOM) must leave nothing behind for the summary check and oracle compare
+# to read, or a stale green run would pass the gate silently.
+rm -rf "$OUT"
+# GRAFT_VERIFY_STRICT makes Verify itself exit nonzero on any query
+# failure (driver-invoked runs stay exit-0 and are scored per-parquet)
+GRAFT_VERIFY_STRICT=1 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
   | grep -E '\[verify' || true
-# Verify exits nonzero inside sbt on failure; re-check the summary file
-# so a swallowed sbt exit can't sneak through
+# The grep pipeline swallows sbt's exit status; re-check the summary file
+# so a swallowed exit can't sneak through (and a missing file fails here)
 python3 - "$OUT/verify_summary.json" <<'EOF'
 import json, sys
 s = json.load(open(sys.argv[1]))
