@@ -357,10 +357,17 @@ object DedupOps extends QueryPack {
     * neighbor filter + canonical groupBy runs over banded LSH candidates
     * ([[SimilarityOps.lshCandidateIds]]) — a tight 0.9 threshold (26°)
     * tolerates 4-bit tables, so 8 tables × 4 planes: candidate volume
-    * O(Σ bucket²) instead of the n² cross join. ExactnessSpec asserts the
-    * two paths agree on the test data.
+    * O(Σ bucket²) instead of the n² cross join, int8-prefiltered inside
+    * the candidate self-join ([[SimilarityOps.lshCandidateIds]]
+    * `prefilterTheta` — lossless by the [[graft.expr.Int8Blob]] margin
+    * bound, so the float verify below sees near-threshold survivors only).
+    * ExactnessSpec asserts the two paths agree on the test data.
     * Reference analogue: none (north-star extension).
     */
+  /** Near-dup cosine floor, shared by the float verify and the banded
+    * route's int8 prefilter (lossless only at the same θ). */
+  val CosDedupThreshold = 0.9
+
   def embeddingCosineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
@@ -369,16 +376,17 @@ object DedupOps extends QueryPack {
       if (SimilarityOps.exactSim(spark)) {
         val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
         val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
-        a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= 0.9)
+        a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= CosDedupThreshold)
           .select($"v1", $"v2")
       } else {
         val (t, p) = SimilarityOps.bandShape(spark, "cosdedup", defTables = 8, defPlanes = 4)
         val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
-          probeBits = SimilarityOps.probeBitsOf(spark, "cosdedup", p))
+          probeBits = SimilarityOps.probeBitsOf(spark, "cosdedup", p),
+          prefilterTheta = Some(CosDedupThreshold))
         val near = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
-          .filter(expr("cosine_sim(e1, e2)") >= 0.9)
+          .filter(expr("cosine_sim(e1, e2)") >= CosDedupThreshold)
           .select($"v1", $"v2")
         // self-pairs (cos(v,v)=1) join the candidate hits explicitly
         near.union(e.select($"vec_id".as("v1"), $"vec_id".as("v2")))

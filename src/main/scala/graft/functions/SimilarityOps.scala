@@ -37,7 +37,7 @@ object SimilarityOps extends QueryPack {
     * extending the family appends planes, it never changes existing ones,
     * so every gate-validated config is byte-identical). 128 planes admit
     * the 8×8 deployment shapes a clustered corpus wants
-    * (tools/ProfileCrossover.scala): more buckets per table than clusters,
+    * (the Harness `crossover` subcommand): more buckets per table than clusters,
     * or Σ|bucket|² degenerates toward n².
     */
   val NPlanesMax: Int = graft.expr.Hyperplanes.Max
@@ -68,7 +68,7 @@ object SimilarityOps extends QueryPack {
     * knob exists because band shapes are a corpus property, not a code
     * property: candidate volume is Θ(Σ|bucket|²), so a clustered deployment
     * corpus wants more planes per table (smaller buckets) than the
-    * worst-case-uniform gate corpus. tools/ProfileCrossover.scala is the
+    * worst-case-uniform gate corpus. the Harness `crossover` subcommand is the
     * offline measurement that validates a shape for a given corpus;
     * [[graft.functions.BandTuner.suggest]] is the cheap online advisor
     * (analytic recall + sampled Σ|bucket|²) a deployment consults first.
@@ -91,6 +91,16 @@ object SimilarityOps extends QueryPack {
       s"graft.sim.bands.$key must be '<tables>x<planes>' with both positive ints, got '$s'"))
   }
 
+  /** Prefilter knob, `graft.sim.prefilter` (default true): threshold
+    * routes that pass `prefilterTheta` to [[lshCandidateIds]] cut candidate
+    * pairs with the provably-lossless [[graft.expr.Int8Keep]] int8 bound
+    * BEFORE the pair distinct and the float verify joins. Answers are
+    * identical either way (Int8PrefilterSpec / ExactnessSpec); the knob
+    * exists for A/B measurement, not semantics.
+    */
+  private[graft] def prefilterOn(spark: SparkSession): Boolean =
+    spark.conf.get("graft.sim.prefilter", "true").toBoolean
+
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
     * least one (table, bucket) under `nTables` tables of `planesPerTable`
     * hyperplane sign bits each. The dial every LSH consumer turns:
@@ -103,37 +113,61 @@ object SimilarityOps extends QueryPack {
     * per-bucket self-join, and a distinct on the id PAIR only — vectors
     * are NOT carried through the distinct (re-joined by id afterwards by
     * callers that need them).
+    *
+    * `prefilterTheta`: threshold consumers (pairs ≥ θ) pass their float
+    * cosine threshold here; each vector's `int8_enc` blob (d code bytes +
+    * 16 — vs 256+ for the float array) then rides through the bucket
+    * shuffle, and `int8_keep(b1, b2, θ)` rejects provably-below-θ pairs
+    * INSIDE the self-join stage, before the pair distinct. A recall-heavy
+    * shape (16×2 at θ=0.4) admits nearly all n² pairs as candidates — the
+    * distinct exchange and the downstream float-array verify joins were
+    * the query's dominant cost, and both now see only near-threshold
+    * survivors. Lossless by the [[graft.expr.Int8Blob]] margin bound, so
+    * every ExactnessSpec invariant is unchanged. Top-1/argmax consumers
+    * have no threshold to prefilter against and pass None.
     */
   def lshCandidateIds(spark: SparkSession, dir: String,
       nTables: Int, planesPerTable: Int, within: Seq[String] = Nil,
-      probeBits: Int = 0): DataFrame = {
+      probeBits: Int = 0, prefilterTheta: Option[Double] = None): DataFrame = {
     import spark.implicits._
     require(nTables * planesPerTable <= NPlanesMax,
       s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
     require(probeBits >= 0 && probeBits <= planesPerTable,
       s"probeBits $probeBits must be in [0, planesPerTable=$planesPerTable]")
     GraftFunctions.register(spark)
+    val theta = prefilterTheta.filter(_ => prefilterOn(spark))
     // ALL table buckets in one native kernel call per row (`lsh_buckets`,
     // graft.expr.LshBuckets) — the previous form composed nTables ×
     // planesPerTable separate CASE WHEN dot_product(emb, <literal>) columns,
     // whose per-element boxed literal access cost 275 µs/row at 8×8 (the
     // bucketing, not the candidate join, was 95% of banded wall time;
-    // tools/TimeBanded.scala). posexplode yields (table, bucket) pairs.
+    // the Harness `banded` subcommand). posexplode yields (table, bucket) pairs.
     //
     // `within` columns partition the index (e.g. per-label): buckets only
     // pair inside the same partition value, shrinking candidate volume
     // for partition-filtered searches without touching the signatures.
+    // the prefilter blob is computed once per vector inside the same scan
+    // projection as the buckets, then rides the (tbl,bucket) shuffle
+    val blobCols = if (theta.isDefined) Seq(expr("int8_enc(embedding)").as("blob")) else Nil
     val bucketed = Tables.embeddings(spark, dir)
-      .select($"vec_id" +: within.map(col) :+
+      .select(($"vec_id" +: within.map(col)) ++ blobCols :+
         posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
           .as(Seq("tbl", "bucket")): _*)
     val keys = Seq("tbl", "bucket") ++ within
+    // int8_keep rejection runs in the self-join output stage, BEFORE any
+    // pair reaches the distinct exchange — the filtered mass never shuffles
+    def keepOf(df: DataFrame): DataFrame = theta match {
+      case Some(t) => df.filter(call_function("int8_keep", $"b1", $"b2", lit(t)))
+      case None => df
+    }
+    def side(v: String, b: String): DataFrame = bucketed.select(
+      (keys.map(col) :+ $"vec_id".as(v)) ++
+        (if (theta.isDefined) Seq($"blob".as(b)) else Nil): _*)
     // Base candidates: the symmetric bucket self-join — every pair appears
     // in both orders, the `<` keeps one, so the dominant base-bucket mass
     // is never duplicated into the distinct.
-    val basePairs = bucketed.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
-      .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
-      .filter($"v1" < $"v2")
+    val basePairs = keepOf(
+      side("v1", "b1").join(side("v2", "b2"), keys).filter($"v1" < $"v2"))
       .select($"v1", $"v2")
     if (probeBits == 0) basePairs.distinct()
     else {
@@ -153,15 +187,19 @@ object SimilarityOps extends QueryPack {
       // knob on).
       val stride = 1 + probeBits
       val flipped = Tables.embeddings(spark, dir)
-        .select($"vec_id" +: within.map(col) :+
+        .select(($"vec_id" +: within.map(col)) ++ blobCols :+
           posexplode(expr(
             s"lsh_probes(embedding, $nTables, $planesPerTable, $probeBits)"))
             .as(Seq("pos", "bucket")): _*)
         .filter(pmod($"pos", lit(stride)) =!= 0)
         .withColumn("tbl", expr(s"pos div $stride").cast("int"))
-      val probePairs = flipped.select(keys.map(col) :+ $"vec_id".as("v1"): _*)
-        .join(bucketed.select(keys.map(col) :+ $"vec_id".as("v2"): _*), keys)
-        .filter($"v1" =!= $"v2")
+      // int8_keep is symmetric, so rejecting before the least/greatest
+      // canonicalization filters the same pairs it would after
+      val probePairs = keepOf(
+        flipped.select((keys.map(col) :+ $"vec_id".as("v1")) ++
+            (if (theta.isDefined) Seq($"blob".as("b1")) else Nil): _*)
+          .join(side("v2", "b2"), keys)
+          .filter($"v1" =!= $"v2"))
         .select(least($"v1", $"v2").as("v1"), greatest($"v1", $"v2").as("v2"))
       basePairs.union(probePairs).distinct()
     }
@@ -247,12 +285,22 @@ object SimilarityOps extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** `sim_pairs_threshold`'s cosine floor — shared between the final float
+    * verify and the banded route's int8 prefilter so the two can never
+    * drift apart (the prefilter bound is only lossless at the SAME θ). */
+  val PairsThreshold = 0.4
+
   /** Embedding near-dup: all pairs with cosine >= 0.4. Exact form is the
     * all-pairs join (oracle-checked baseline); with `graft.sim.exact=false`
     * the SAME verify step runs on banded LSH candidates instead — the only
     * corpus-wide work becomes the (table,bucket) shuffle. 0.4 is a loose
     * threshold (66°), so the candidate config is recall-heavy: 16 tables of
-    * 2 sign bits (covers every qualifying test pair — tools/lsh_recall.py).
+    * 2 sign bits (covers every qualifying test pair — tools/lsh_recall.py);
+    * at that recall the candidate set is nearly all n² pairs, which is why
+    * the banded route hands θ to the int8 prefilter
+    * ([[lshCandidateIds]] `prefilterTheta`): provably-below-θ pairs die in
+    * the self-join stage, so the pair distinct and the two float-array
+    * verify joins below see only near-threshold survivors.
     */
   def pairsAboveThreshold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -266,13 +314,14 @@ object SimilarityOps extends QueryPack {
       } else {
         val (t, p) = bandShape(spark, "pairs", defTables = 16, defPlanes = 2)
         lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
-          probeBits = probeBitsOf(spark, "pairs", p))
+          probeBits = probeBitsOf(spark, "pairs", p),
+          prefilterTheta = Some(PairsThreshold))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
       }
     pairs
       .withColumn("cos", expr("cosine_sim(e1, e2)"))
-      .filter($"cos" >= 0.4)
+      .filter($"cos" >= PairsThreshold)
       .select($"v1", $"v2", $"l1", $"l2", round($"cos", 6).as("cos"))
       .orderBy($"v1", $"v2")
   }
@@ -334,7 +383,7 @@ object SimilarityOps extends QueryPack {
           // keep and the anti-join sides. NOTE the eager checkpoint makes
           // BUILDING this DataFrame run the banded subtree as Spark jobs —
           // construction is an action, not a free plan; callers that build
-          // the query twice (ProfileProbe per config) pay twice.
+          // the query twice (the Harness `probe` subcommand per config) pay twice.
           //
           // NaN guard: Spark orders NaN greater than everything, so a NaN
           // banded score (zero-norm embedding → cosine 0/0) would pass

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, LshBuckets, LshProbes, MinhashSig, SimhashSig}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, Int8Enc, Int8Est, Int8Keep, LshBuckets, LshProbes, MinhashSig, SimhashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -77,6 +77,35 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_sig takes (normalized_text)")
         SimhashSig(args.head)
+      }),
+    (FunctionIdentifier("int8_enc"),
+      new ExpressionInfo(classOf[Int8Enc].getName, "int8_enc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "int8_enc takes (embedding)")
+        Int8Enc(args.head)
+      }),
+    (FunctionIdentifier("int8_est"),
+      new ExpressionInfo(classOf[Int8Est].getName, "int8_est"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "int8_est takes (blob1, blob2)")
+        Int8Est(args.head, args(1))
+      }),
+    (FunctionIdentifier("int8_keep"),
+      new ExpressionInfo(classOf[Int8Keep].getName, "int8_keep"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "int8_keep takes (blob1, blob2, theta)")
+        // theta must be a foldable numeric literal (a cosine threshold is a
+        // query constant, never data); SQL text parses 0.4 as DECIMAL, the
+        // Column API builds a Double literal — accept both
+        val theta = args(2) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Float, _) => v.toDouble
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"int8_keep: theta must be a numeric literal, got $other")
+        }
+        require(!theta.isNaN && !theta.isInfinite, s"int8_keep: theta must be finite, got $theta")
+        Int8Keep(args.head, args(1), theta)
       }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
