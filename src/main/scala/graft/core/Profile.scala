@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *    banded-LSH candidate routes. The gate's all-pairs forms are the
   *    oracle-checkable ground truth; at deployment scale they are Θ(n²)
   *    and the banded Θ(Σ|bucket|²) routes are the only viable shape
-  *    (measured crossover: tools/ProfileCrossover.scala, SCALE.md).
+  *    (measured crossover: the Harness `crossover` subcommand, SCALE.md).
   *
   * Resolution order, per knob: an EXPLICIT `graft.sums.exact` /
   * `graft.sim.exact` setting always wins; otherwise the profile supplies
@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Band shapes (`graft.sim.bands.*`) are deliberately NOT profile-driven:
   * they are a corpus property (see [[graft.functions.SimilarityOps.bandShape]]),
-  * tuned per deployment with tools/ProfileCrossover.scala.
+  * tuned per deployment with the Harness `crossover` subcommand.
   */
 object Profile {
   val Gate = "gate"

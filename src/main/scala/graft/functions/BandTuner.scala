@@ -36,7 +36,7 @@ final case class BandShapeAdvice(
 
 /** In-engine band-shape advisor — SCALE.md round 6's closing rule ("band
   * shapes are not a constant but a function of corpus statistics") made
-  * executable. `tools/ProfileCrossover.scala` is the offline measurement
+  * executable. the Harness `crossover` subcommand is the offline measurement
   * that validated the rule; this is the cheap online form a deployment
   * runs against its own corpus before flipping `graft.sim.exact=false`.
   *

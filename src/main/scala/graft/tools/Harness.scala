@@ -1,0 +1,939 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.core.{Session, Tables}
+import graft.functions.{BandTuner, DedupOps, SimilarityOps}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared synthetic corpora + timing ritual for the measurement harness
+  * (and BandTunerSpec, which validates the advisor on the clustered
+  * corpus). Split from [[Harness]] so the spec depends on generators, not
+  * on the subcommand dispatcher.
+  */
+object Corpora {
+  val Dim: Int = SimilarityOps.Dim
+  val Sigma = 0.025
+  /** Uniform-background fraction — the isolated tail that is LSH's hard
+    * population (no cluster to share a bucket with). 15% is a deliberately
+    * adversarial stress tail; override via SPARK_GRAFT_CROSSOVER_BG to
+    * model realistic near-dup corpora (round 7 measures 5% alongside).
+    */
+  val BgFrac: Double = sys.env.get("SPARK_GRAFT_CROSSOVER_BG")
+    .map(s => s.toDoubleOption.getOrElse(sys.error(
+      s"SPARK_GRAFT_CROSSOVER_BG must be a fraction, got '$s'")))
+    .getOrElse(0.15)
+  val ClusterSize = 50
+  val NLabels = 8
+
+  /** Default 8 tables × 8 planes: 256 buckets per table — the first
+    * measured shape (8×4 = 16 buckets/table) packed ~25 clusters into
+    * every bucket, making Σ|bucket|² comparable to n² and banded 4–5×
+    * SLOWER than exact despite 0.95+ recall. The lesson is now codified in
+    * [[SimilarityOps.bandShape]]: bucket count must exceed cluster count —
+    * and since cluster count grows with n, override via
+    * SPARK_GRAFT_CROSSOVER_BANDS to re-measure at corpus-matched shapes
+    * (e.g. 8x10 = 1024 buckets for the ~2000-cluster 100k corpus).
+    * Parsed eagerly so a malformed value fails at startup, not after the
+    * expensive exact measurement pass.
+    */
+  val Bands: String = {
+    val s = sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x8")
+    if (s.toLowerCase == "auto") s.toLowerCase
+    else s.toLowerCase.split("x").map(t => scala.util.Try(t.trim.toInt)) match {
+      case Array(scala.util.Success(t), scala.util.Success(p))
+          if t > 0 && p > 0 && t * p <= graft.expr.Hyperplanes.Max => s
+      case _ => sys.error(
+        s"SPARK_GRAFT_CROSSOVER_BANDS must be '<tables>x<planes>' (or " +
+          s"'auto' to let BandTuner.suggest pick per corpus) with " +
+          s"tables*planes <= ${graft.expr.Hyperplanes.Max}, got '$s'")
+    }
+  }
+
+  /** Resolve the shape for a generated corpus: the env value, or — in
+    * `auto` mode — whatever [[BandTuner.suggest]] picks from the corpus
+    * itself (threshold 0.96 = where the planted intra-cluster pairs sit;
+    * round 7 closes the loop by letting the ADVISOR choose the shape the
+    * measurement then validates, instead of a human reading the cluster
+    * count off the generator).
+    */
+  def resolveBands(spark: SparkSession, dir: String): String =
+    if (Bands != "auto") Bands
+    else {
+      val a = BandTuner.suggest(spark, dir, threshold = 0.96)
+      println(f"CROSSOVER advisor shape=${a.shape} " +
+        f"predRecall=${a.predictedRecall}%.4f " +
+        f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
+      a.shape
+    }
+
+  /** Clustered embedding corpus — a mixture of Gaussians on the unit
+    * sphere at 10–50× the gate's vector count: `n` vectors, (1-BgFrac) in
+    * ~n/50 clusters (unit center + σ=0.025 noise, re-normalized →
+    * intra-cluster cosine ≈ 0.96, above both the 0.9 dedup and 0.4 pairs
+    * thresholds), the rest uniform background (pairwise cosine ~N(0,
+    * 1/64): mostly isolated, occasional borderline pairs — the hard tail
+    * for LSH). Labels = cluster mod 8, so same-label search stays an
+    * eighth-corpus problem, not a per-cluster one. The driver's gate
+    * embeddings are near-uniform on the sphere — LSH's documented worst
+    * case; production near-dup corpora look like THIS, which is where the
+    * banded routes must win (SCALE.md rounds 5–8).
+    */
+  def generate(spark: SparkSession, n: Int, seed: Int = 7): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat).toSeq
+    }
+    val nClusters = math.max(1, n / ClusterSize)
+    val centers = Array.fill(nClusters)(unit(Array.fill(Dim)(rnd.nextGaussian())))
+    val nBg = (n * BgFrac).toInt
+    // driver-side generation: 100k × 64 floats is model-state scale (~26 MB);
+    // a real 100 TB corpus arrives as data, it isn't synthesized
+    val rows = (0 until n).map { i =>
+      if (i < nBg)
+        (i.toLong, unit(Array.fill(Dim)(rnd.nextGaussian())), rnd.nextInt(NLabels))
+      else {
+        val c = i % nClusters
+        val v = Array.tabulate(Dim)(j => centers(c)(j) + Sigma * rnd.nextGaussian())
+        (i.toLong, unit(v), c % NLabels)
+      }
+    }
+    // dir carries the background fraction so corpora generated under
+    // different SPARK_GRAFT_CROSSOVER_BG values never alias
+    val dir = s"/tmp/graft_crossover/n${n}_bg${math.round(BgFrac * 100)}"
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  val Vocab = 8000
+  val DocLen = 60
+  /** Token-frequency skew. 0.7 is mildly Zipfian (both routes stay
+    * linear-dominated); classic natural-language Zipf is s ≈ 1.0, where
+    * the hottest shingles appear in percent-level fractions of all slots
+    * and the exact self-join's Σ count² term explodes — override via
+    * SPARK_GRAFT_DOCSX_ZIPF to measure that regime.
+    */
+  val ZipfS: Double = sys.env.get("SPARK_GRAFT_DOCSX_ZIPF")
+    .map(s => s.toDoubleOption.getOrElse(sys.error(
+      s"SPARK_GRAFT_DOCSX_ZIPF must be a Zipf exponent, got '$s'")))
+    .getOrElse(0.7)
+  val OrigFrac = 0.7
+  val MutateP = 0.05
+
+  private lazy val cum: Array[Double] = {
+    val w = Array.tabulate(Vocab)(k => 1.0 / math.pow(k + 1.0, ZipfS))
+    val c = w.scanLeft(0.0)(_ + _).drop(1)
+    val t = c.last
+    c.map(_ / t)
+  }
+
+  /** Near-dup-structured Zipfian document corpus (honest, not rigged):
+    * tokens drawn Zipf(0.7) from an 8k-word vocabulary — real text is
+    * Zipfian, and moderately-hot shingles are exactly why the exact
+    * shingle self-join is the documented 100 TB killer; 70% original docs
+    * of 60 tokens, 30% near-dups mutating each token of an original with
+    * p=0.05 (3-shingle survival 0.95³ ≈ 0.857 → Jaccard ≈ 0.75,
+    * comfortably above the 0.5 verify threshold and at the concentration
+    * the advisor prices).
+    */
+  def generateDocs(spark: SparkSession, n: Int, seed: Int = 13): String = {
+    import spark.implicits._
+    val nOrig = math.max(1, (n * OrigFrac).toInt)
+    // distributed, deterministic per doc_id: a dup regenerates its base's
+    // tokens from the base's seed, so no driver-side corpus materializes
+    // (250k × 60 tokens stays executor-side; the driver ships only scalars).
+    // Everything the lambda touches is a LOCAL copy — referencing the
+    // enclosing object's members would drag the non-serializable object
+    // into the task closure.
+    val (cumL, vocab, docLen, mutP) = (cum, Vocab, DocLen, MutateP)
+    val docs = spark.range(n).map { i =>
+      def sampleWordL(r: scala.util.Random): String = {
+        val u = r.nextDouble()
+        val k = java.util.Arrays.binarySearch(cumL, u)
+        "w" + (if (k >= 0) k else -k - 1)
+      }
+      def tokensOf(id: Long): Array[String] = {
+        val r = new scala.util.Random(seed * 1000003L + id)
+        Array.fill(docLen)(sampleWordL(r))
+      }
+      val text =
+        if (i < nOrig) tokensOf(i).mkString(" ")
+        else {
+          val r = new scala.util.Random(seed * 7919L + i)
+          tokensOf(i % nOrig)
+            .map(t => if (r.nextDouble() < mutP) "w" + r.nextInt(vocab) else t)
+            .mkString(" ")
+        }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = s"/tmp/graft_docs_crossover/n${n}_z${math.round(ZipfS * 100)}"
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The measurement ritual: warm once (codegen + shuffle-file setup out
+    * of the measurement), then min of `passes` timed noop-writes. */
+  def timed(passes: Int)(f: => Unit): Double = {
+    f
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+}
+
+/** The measurement harness behind SCALE.md, consolidated (r9 verdict #5)
+  * from 12 single-purpose mains into one entrypoint:
+  *
+  * {{{
+  * sbt "runMain graft.tools.Harness <subcommand> [args...]"
+  * }}}
+  *
+  * Subcommands (run with no args for this list):
+  *  - `time-queries <name>...` — time registered queries across SF dirs
+  *  - `scale [n...]` — replicate lineitem N× and time headline shapes
+  *  - `q1` / `join3` / `minhash` — segment/shape A/Bs for those pipelines
+  *  - `object-agg [groups...]` — ObjectHashAggregate fallback boundary
+  *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
+  *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
+  *  - `banded [dir] [shape]` — banded pipeline stage decomposition
+  *  - `crossover [n...]` — exact↔banded crossover on clustered corpus
+  *  - `probe [n] [shape,...] [bits...]` — multi-probe recall/cost frontier
+  *  - `dedup-probe [n] [shape,...] [bits...]` — same for embedding dedup
+  *  - `docs-crossover [n...]` — MinHash-route crossover on Zipfian docs
+  *
+  * None of these are part of the driver contract; each subcommand's
+  * scaladoc records WHAT question it answers and the SCALE.md round whose
+  * numbers it produced. [[DumpPlans]] stays a separate main: it writes a
+  * repo artifact (PLANS.md) rather than measuring.
+  */
+object Harness {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private val subs: Seq[(String, String, Array[String] => Unit)] = Seq(
+    ("time-queries", "<name>... — min-of-3 per query per SPARK_GRAFT_SF_DIRS dir", timeQueries),
+    ("scale", "[n...] — lineitem ×1/2/4/8 scaling of headline shapes", scale),
+    ("q1", "decimal-exact vs double-sum Q1 cost", q1),
+    ("join3", "3-way join: direct vs eager pre-agg", join3),
+    ("minhash", "minhash pipeline segment timing", minhash),
+    ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
+    ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
+    ("ab-prefilter", "[dir] — int8 candidate-prefilter on/off A/B", abPrefilter),
+    ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
+    ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
+    ("probe", "[n] [shape,...] [bits...] — multi-probe frontier (same-label)", probe),
+    ("dedup-probe", "[n] [shape,...] [bits...] — multi-probe frontier (cos dedup)", dedupProbe),
+    ("docs-crossover", "[n...] — MinHash-route crossover, Zipfian docs", docsCrossover))
+
+  def main(args: Array[String]): Unit = args.headOption.flatMap(
+      name => subs.find(_._1 == name)) match {
+    case Some((_, _, run)) => run(args.tail)
+    case None =>
+      System.err.println("usage: runMain graft.tools.Harness <subcommand> [args...]")
+      subs.foreach { case (n, help, _) => System.err.println(f"  $n%-15s $help") }
+      if (args.nonEmpty) sys.error(s"unknown subcommand '${args.head}'")
+  }
+
+  /** Time arbitrary registered queries across scale factors — the
+    * per-operator scaling measurement behind SCALE.md's tables. Dirs come
+    * from SPARK_GRAFT_SF_DIRS (comma-separated, default sf0.01,sf0.1).
+    * Methodology matches Bench: noop sink, one warmup, min-of-3,
+    * plain-double sums.
+    */
+  private def timeQueries(args: Array[String]): Unit = {
+    val spark = Session.local(32, "time-queries")
+    spark.conf.set("graft.sums.exact", "false")
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
+      "/root/testdata/sf0.01,/root/testdata/sf0.1").split(",").toSeq
+    for (name <- args.toSeq; dir <- dirs) {
+      val fn = graft.SparkEntry.queries(name)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        noop(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warmup (codegen compile)
+      val best = (1 to 3).map(_ => run()).min
+      println(f"SEGMENT $name%-26s ${dir.split('/').last}%-8s min=$best%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Replicate the sf0.1 lineitem N× in memory (fresh orderkeys per copy
+    * so join/group cardinalities scale too) and time the headline shapes
+    * at 1×/2×/4×/8×. If a plan's time grows ~linearly (n log n for sort)
+    * the shape holds as data outgrows any single partition — the local
+    * proxy for the 100 TB claim (SCALE.md round 2).
+    */
+  private def scale(args: Array[String]): Unit = {
+    val spark = Session.local(32, "profile-scale")
+    spark.conf.set("graft.sums.exact", "false")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, dir)
+    val maxKey = li.agg(max($"l_orderkey")).as[Long].head() + 1
+    def lineitemX(n: Int): DataFrame =
+      (0 until n).map { i =>
+        li.withColumn("l_orderkey", $"l_orderkey" + lit(i * maxKey))
+      }.reduce(_ unionByName _)
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    sizes.foreach { n =>
+      val l = lineitemX(n)
+      val rows = l.count()
+      val tQ1 = Corpora.timed(1) {
+        noop(l.filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity"), sum($"l_extendedprice" * (lit(1.0) - $"l_discount")),
+            count(lit(1))))
+      }
+      val tSort = Corpora.timed(1) {
+        noop(l.select($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber"))
+      }
+      val tAgg = Corpora.timed(1) {
+        noop(l.groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("nl"), sum($"l_extendedprice").as("s")))
+      }
+      println(f"SCALE x$n rows=$rows q1=$tQ1%.2fs sort=$tSort%.2fs agg_by_key=$tAgg%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Decimal-exact vs double-sum Q1 cost (the `graft.sums.exact` price). */
+  private def q1(args: Array[String]): Unit = {
+    val spark = Session.local(32, "profile-q1")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    def time[A](label: String)(f: => Unit): Unit = {
+      val t = Corpora.timed(1)(f)
+      println(f"SEGMENT $label%-20s $t%.2fs")
+    }
+    time("decimal q1") {
+      noop(graft.operators.Aggregates.q1PricingSummary(spark, dir))
+    }
+    time("double q1") {
+      noop(Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), sum($"l_extendedprice"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")),
+          avg($"l_quantity"), count(lit(1)))
+        .orderBy($"l_returnflag", $"l_linestatus"))
+    }
+    time("scan only") {
+      noop(Tables.lineitem(spark, dir))
+    }
+    spark.stop()
+  }
+
+  /** A/B the 3-way join shapes (direct vs eager pre-agg). */
+  private def join3(args: Array[String]): Unit = {
+    val spark = Session.local(32, "profile-join3")
+    spark.conf.set("graft.sums.exact", "false")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    def run(label: String)(f: => DataFrame): Unit = {
+      noop(f) // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SEGMENT $label%-12s min=${times.min}%.2fs med=${times.sorted.apply(1)}%.2fs")
+    }
+    run("direct") {
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"c_mktsegment")
+    }
+    run("eager") {
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("nl"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey")
+        .join(perOrder, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_mktsegment")
+        .agg(sum($"nl").as("n_lines"), sum($"rev").as("revenue"))
+        .orderBy($"c_mktsegment")
+    }
+    spark.stop()
+  }
+
+  /** Segment timing for the COMPOSED minhash pipeline stages (historical:
+    * the production route now computes signatures in-scan via the
+    * `minhash_sig` kernel — this prices what that kernel deleted). */
+  private def minhash(args: Array[String]): Unit = {
+    val spark = Session.local(32, "profile-minhash")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    def time[A](label: String)(f: => A): A = {
+      f // warm
+      val t0 = System.nanoTime(); val r = f
+      println(f"SEGMENT $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    spark.range(1000).count()
+    time("full run") {
+      noop(DedupOps.minhashLsh(spark, dir))
+    }
+    val docs = Tables.documents(spark, dir)
+    time("scan documents")(noop(docs))
+    val sh = docs
+      .select($"doc_id", split(regexp_replace(trim(lower(col("text"))), "\\s+", " "), " ").as("toks"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
+        i => concat_ws(" ", slice($"toks", i, lit(3))))).as("shingle"))
+    time("explode shingles")(noop(sh))
+    val aggs = (0 until 16).map { i =>
+      min(xxhash64(concat(lit(s"$i|"), col("shingle")))).as(s"mh_$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    time("signatures groupBy")(noop(sigs))
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 2).map(r => col(s"mh_${b * 2 + r}")): _*).as("bh"))
+    }
+    val candidates = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode($"docs").as("d1"), $"docs")
+      .select($"d1", explode($"docs").as("d2"))
+      .filter($"d1" < $"d2")
+      .distinct()
+    time("candidates")(noop(candidates))
+    spark.stop()
+  }
+
+  /** ObjectHashAggregate fallback-boundary measurement (round 8): the
+    * round-7 SortAggregate sweep ADJUDICATED the engine's remaining
+    * object-buffer aggregations (bounded-heap top-k, percentile sketches)
+    * as scale-safe — "their sort-based fallback beyond the in-memory key
+    * threshold is the memory-safety contract" — but with an argument, not
+    * a number. This prices the argument: the same aggregation shapes as
+    * `agg_topk_per_key` / `agg_percentiles_sketch`, run at 250k–1M GROUPS
+    * (the gate queries group by 3-key enums; the fallback only engages
+    * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` =
+    * 128 distinct keys per partition), reporting wall time, throughput,
+    * and actual spill bytes from task metrics. A flat rows/s across group
+    * counts + zero-or-bounded spill = no cliff. A primitive-buffer
+    * HashAggregate control prices the shuffle + scan both paths share.
+    */
+  private def objectAgg(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(250000, 500000, 1000000)
+    val rowsPerGroup = 8
+    val spark = Session.local(32, "profile-object-agg")
+    spark.conf.set("graft.sums.exact", "false")
+    import spark.implicits._
+    // spill accounting straight from task metrics — the only honest
+    // source: timing alone can't distinguish "slower because sorting"
+    // from "slower because spilling to /tmp"
+    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    def timedWithSpill(f: => Unit): (Double, Long, Long) = {
+      f // warm: codegen + shuffle-file setup out of the measurement
+      memSpill.set(0); diskSpill.set(0)
+      val t0 = System.nanoTime(); f
+      ((System.nanoTime() - t0) / 1e9, memSpill.get, diskSpill.get)
+    }
+    for (g <- sizes) {
+      val rows = g.toLong * rowsPerGroup
+      // deterministic synthetic: group key cycles so every group gets
+      // exactly rowsPerGroup members; the value is a cheap integer mix —
+      // id*2654435761 mod 1e6 — spread enough to exercise heap/sketch
+      // ordering without a row-level RNG
+      val df: DataFrame = spark.range(rows)
+        .select(($"id" % g).as("k"), $"id".as("rid"),
+          (($"id" * 2654435761L) % 1000000L).cast("double").as("v"))
+      val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKAgg(3))
+      val (tTop, msTop, dsTop) = timedWithSpill {
+        noop(df.groupBy($"k").agg(topk($"v", $"rid").as("top")))
+      }
+      val (tPct, msPct, dsPct) = timedWithSpill {
+        // deployment accuracy (10000), not the gate's exactness-forcing 1e6
+        noop(df.groupBy($"k").agg(
+          expr("percentile_approx(v, 0.5, 10000)").as("p50"),
+          expr("percentile_approx(v, 0.95, 10000)").as("p95")))
+      }
+      val (tCtl, msCtl, dsCtl) = timedWithSpill {
+        noop(df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n")))
+      }
+      def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+      println(f"OBJAGG groups=$g%8d rows=$rows%9d " +
+        f"topk=$tTop%6.2fs(${rows / tTop / 1e6}%5.1fM rows/s, spill mem=${mb(msTop)} disk=${mb(dsTop)}) " +
+        f"pctl=$tPct%6.2fs(spill mem=${mb(msPct)} disk=${mb(dsPct)}) " +
+        f"control=$tCtl%6.2fs(spill mem=${mb(msCtl)} disk=${mb(dsCtl)})")
+    }
+    spark.stop()
+  }
+
+  /** A/B the `graft.sim.exact` knob — exact all-pairs baselines vs the
+    * banded-LSH candidate paths — on the sf0.1 tables (2000 vectors, 5000
+    * documents). */
+  private def exactness(args: Array[String]): Unit = {
+    val spark = Session.local(32, "profile-exactness")
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val queries = Seq[(String, () => DataFrame)](
+      "pairs_threshold" -> (() => SimilarityOps.pairsAboveThreshold(spark, dir)),
+      "nearest_same_label" -> (() => SimilarityOps.nearestSameLabel(spark, dir)),
+      "embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)),
+      "ngram_jaccard" -> (() => DedupOps.ngramJaccard(spark, dir)))
+    for ((label, f) <- queries; exact <- Seq(true, false)) {
+      spark.conf.set("graft.sim.exact", exact.toString)
+      noop(f()) // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(f()); (System.nanoTime() - t0) / 1e9
+      }
+      val mode = if (exact) "exact" else "banded"
+      println(f"SEGMENT $label%-20s $mode%-7s min=${times.min}%.2fs med=${times.sorted.apply(1)}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** A/B the int8 candidate prefilter (round 10): the two banded threshold
+    * routes with `graft.sim.prefilter` off vs on, plus the candidate-count
+    * evidence — how many of the Θ(Σ|bucket|²) pairs the provable
+    * [[graft.expr.Int8Keep]] bound kills before the pair distinct and the
+    * float verify joins ever see them. Same methodology as the bench's
+    * banded block (noop sink, warmup, min-of-5).
+    */
+  private def abPrefilter(args: Array[String]): Unit = {
+    val spark = Session.local(32, "ab-prefilter")
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    spark.conf.set("graft.sim.exact", "false")
+    // candidate-mass evidence first (cheap counts, not timed)
+    for ((label, t, p, theta) <- Seq(
+        ("pairs@0.4", 16, 2, SimilarityOps.PairsThreshold),
+        ("cosdedup@0.9", 8, 4, DedupOps.CosDedupThreshold))) {
+      val all = SimilarityOps.lshCandidateIds(spark, dir, t, p).count()
+      val kept = SimilarityOps.lshCandidateIds(spark, dir, t, p,
+        prefilterTheta = Some(theta)).count()
+      println(f"ABPREFILTER $label%-14s candidates=$all kept=$kept " +
+        f"killed=${1.0 - kept.toDouble / math.max(all, 1)}%.4f")
+    }
+    val queries = Seq[(String, () => DataFrame)](
+      "sim_pairs_threshold" -> (() => SimilarityOps.pairsAboveThreshold(spark, dir)),
+      "dedup_embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)))
+    for ((label, f) <- queries; pre <- Seq(false, true)) {
+      spark.conf.set("graft.sim.prefilter", pre.toString)
+      noop(f()) // warm
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); noop(f()); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"ABPREFILTER $label%-22s prefilter=$pre%-5s " +
+        f"min=${times.min}%.2fs med=${times.sorted.apply(2)}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Decompose the banded pipeline's wall time at a crossover corpus size —
+    * candidate generation vs distinct vs embedding re-join vs verify — to
+    * find which stage carries the unexplained per-row constant
+    * (Harness `crossover` r6: banded ~0.65 ms/vector regardless of shape). */
+  private def banded(args: Array[String]): Unit = {
+    val spark = Session.local(32, "time-banded")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    import spark.implicits._
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_crossover/n20000"
+    val shape = if (args.length > 1) args(1) else "8x8"
+    val Array(t, p) = shape.split("x").map(_.toInt)
+    graft.plans.GraftFunctions.register(spark)
+    def time(label: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"TIMEBANDED $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+    val e = Tables.embeddings(spark, dir)
+    time("corpus_scan")(e.count())
+    // stage 1: bucketing via the native lsh_buckets kernel (the composed
+    // CASE WHEN dot_product form this replaced measured 5.5 s FORCED at 20k
+    // — 275 µs/row of boxed literal access; count() alone was 0.25 s only
+    // because column pruning dropped the dots entirely)
+    val bucketed = e.select($"vec_id",
+      posexplode(expr(s"lsh_buckets(embedding, $t, $p)")).as(Seq("tbl", "bucket")))
+    time("bucketing_explode")(bucketed.count())
+    time("bucketing_forced")(
+      bucketed.agg(sum($"bucket")).head().getLong(0))
+    // stage 2: self-join candidate volume (pre-distinct)
+    val raw = bucketed.select($"tbl", $"bucket", $"vec_id".as("v1"))
+      .join(bucketed.select($"tbl", $"bucket", $"vec_id".as("v2")), Seq("tbl", "bucket"))
+      .filter($"v1" < $"v2")
+    time("selfjoin_raw_pairs")(raw.count())
+    // stage 3: distinct pairs
+    val cand = SimilarityOps.lshCandidateIds(spark, dir, t, p)
+    time("candidates_distinct")(cand.count())
+    // stage 4: re-join embeddings + verify
+    val verified = cand
+      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
+      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
+      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .filter($"cos" >= 0.4)
+    time("rejoin_verify")(verified.count())
+    // full production query for reference
+    spark.conf.set("graft.sim.exact", "false")
+    Seq("pairs", "samelabel", "cosdedup")
+      .foreach(k => spark.conf.set(s"graft.sim.bands.$k", shape))
+    time("full_pairs_threshold") {
+      noop(SimilarityOps.pairsAboveThreshold(spark, dir)); 0L
+    }
+    spark.stop()
+  }
+
+  /** Crossover experiment: measure where the banded-LSH routes BEAT the
+    * exact all-pairs baselines, and at what recall, on the clustered
+    * corpus ([[Corpora.generate]]) at 10–50× the gate's vector count.
+    * Banded shape under test: [[Corpora.Bands]]. Fairness: exact gets a
+    * 256 MB broadcast threshold so its all-pairs join broadcasts the full
+    * corpus instead of degrading to a partitioned cartesian product (or,
+    * at 250k vectors, to a sort-merge join whose per-key group buffering
+    * spills tens of GB). Results recorded in SCALE.md rounds 5–7.
+    */
+  private def crossover(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(20000, 50000)
+    val spark = Session.local(32, "profile-crossover")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+    import spark.implicits._
+    val queries = Seq[(String, String => DataFrame)](
+      "pairs_threshold" -> (d => SimilarityOps.pairsAboveThreshold(spark, d)),
+      "nearest_same_label" -> (d => SimilarityOps.nearestSameLabel(spark, d)),
+      "embedding_cosine" -> (d => DedupOps.embeddingCosineDedup(spark, d)))
+    for (n <- sizes) {
+      val dir = Corpora.generate(spark, n)
+      val bands = Corpora.resolveBands(spark, dir)
+      println(s"CROSSOVER corpus n=$n dir=$dir bands=$bands")
+      for ((name, build) <- queries) {
+        spark.conf.set("graft.sim.exact", "true")
+        Seq("pairs", "samelabel", "cosdedup")
+          .foreach(k => spark.conf.set(s"graft.sim.bands.$k", bands))
+        val tExact = Corpora.timed(2)(noop(build(dir)))
+        val exact = build(dir).localCheckpoint() // pin the exact answer for recall
+        spark.conf.set("graft.sim.exact", "false")
+        val tBanded = Corpora.timed(2)(noop(build(dir)))
+        val bandedDf = build(dir).localCheckpoint()
+        val recall = name match {
+          case "pairs_threshold" =>
+            val nExact = exact.count()
+            val found = exact.select($"v1", $"v2")
+              .join(bandedDf.select($"v1", $"v2"), Seq("v1", "v2"), "left_semi").count()
+            // the loose 0.4 threshold is LSH's hard case: collision
+            // probability for a pair AT the threshold is only ~0.16 per
+            // 8-plane table, so misses concentrate just above 0.4 — report
+            // recall on confident pairs (cos >= 0.6) separately to show it
+            val conf = exact.filter($"cos" >= 0.6)
+            val nConf = conf.count()
+            val foundConf = conf.select($"v1", $"v2")
+              .join(bandedDf.select($"v1", $"v2"), Seq("v1", "v2"), "left_semi").count()
+            println(f"CROSSOVER n=$n pairs_threshold      " +
+              f"recall_conf(cos>=0.6)=${foundConf.toDouble / math.max(nConf, 1)}%.4f " +
+              f"over $nConf confident pairs")
+            found.toDouble / math.max(nExact, 1)
+          case "nearest_same_label" =>
+            // a hit = banded's neighbor is as close as exact's (id may
+            // differ on cosine ties); a vector banded has NO row for is a miss
+            val j = exact.select($"vec_id", $"cos".as("c_ex"))
+              .join(bandedDf.select($"vec_id", $"cos".as("c_b")), Seq("vec_id"), "left")
+            j.filter($"c_b" >= $"c_ex" - 1e-6).count().toDouble / math.max(exact.count(), 1)
+          case _ => // embedding_cosine: canonical assignment agreement
+            val j = exact.select($"vec_id", $"canonical_id".as("ce"))
+              .join(bandedDf.select($"vec_id", $"canonical_id".as("cb")), Seq("vec_id"), "left")
+            j.filter($"cb" === $"ce").count().toDouble / math.max(exact.count(), 1)
+        }
+        println(f"CROSSOVER n=$n $name%-20s exact=$tExact%7.2fs banded=$tBanded%7.2fs " +
+          f"speedup=${tExact / tBanded}%5.2fx recall=$recall%.4f")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Multi-probe LSH measurement (round 7): does query-side probing lift
+    * same-label top-1 recall from the measured 0.86–0.88 (SCALE.md round
+    * 6, "isolated-vector LSH physics") toward ≥0.95 at ≤2× the unprobed
+    * banded time? Runs `nearest_same_label` on the crossover corpus:
+    * exact once (baseline + truth), then banded at the corpus-matched
+    * shape with probeBits swept, reporting wall time, top-1 recall, and
+    * the advisor's predicted recall for each setting. Several
+    * comma-separated shapes share one exact baseline measurement.
+    */
+  private def probe(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val shapes = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CROSSOVER_BANDS", "8x10"))
+      .toLowerCase.split(",").map(_.trim).toSeq
+    val bits = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(0, 1, 2, 4)
+    val spark = Session.local(32, "profile-probe")
+    // 256 MB: keep the exact baseline on its best (broadcast-hash) plan at
+    // 250k+ vectors — at 64 MB the ~70 MB embedding side flipped to a
+    // sort-merge join whose per-key group buffering spilled >50 GB (r7)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+    import spark.implicits._
+    val dir = Corpora.generate(spark, n)
+    println(s"PROBE corpus n=$n shapes=${shapes.mkString(",")} dir=$dir")
+    def run(): Unit = noop(SimilarityOps.nearestSameLabel(spark, dir))
+    // debug: print the exact query's plan and exit (no execution)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) {
+      spark.conf.set("graft.sim.exact", "true")
+      SimilarityOps.nearestSameLabel(spark, dir).explain("formatted")
+      spark.stop(); return
+    }
+    // exact truth: timed like the banded runs, pinned for recall.
+    // SPARK_GRAFT_PROBE_EXACT_PASSES trims the exact timing loop at big n
+    // (250k exact is ~minutes per pass; the banded-shape comparison is the
+    // point there, exact is baseline + truth)
+    val exactPasses = sys.env.get("SPARK_GRAFT_PROBE_EXACT_PASSES")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+    spark.conf.set("graft.sim.exact", "true")
+    val tExact = Corpora.timed(exactPasses)(run())
+    val exact = SimilarityOps.nearestSameLabel(spark, dir).localCheckpoint()
+    val nExact = math.max(exact.count(), 1L)
+    println(f"PROBE n=$n exact=$tExact%7.2fs rows=$nExact")
+    spark.conf.set("graft.sim.exact", "false")
+    // the measurement sweeps rescue floors whose unresolved fraction
+    // exceeds the production refusal knob (the 15%-background corpus at
+    // rescue 0.6 unresolves ~15% — exactly what the round-8 guard
+    // refuses by default); accept everything here so the sweep can PRICE
+    // those configurations. Past BroadcastSafeRescueFrac the engine
+    // routes them through the shuffled rescue join, so the timings below
+    // are the post-guard production path for fat tails.
+    spark.conf.set("graft.sim.rescue.maxfrac.samelabel", "1.0")
+    val rescues = sys.env.getOrElse("SPARK_GRAFT_PROBE_RESCUE", "0,0.8")
+      .split(",").map(_.trim.toDouble).toSeq
+    for (shape <- shapes; m0 <- bits) {
+      // "auto" = the advisor picks the shape for THIS corpus and probe
+      // setting (round 7, task: crossover rows where the shape came from
+      // suggest, not a human); hoisted above the rescue loop — the advice
+      // depends only on (shape, bits)
+      val (t, p) =
+        if (shape == "auto") {
+          val a = BandTuner.suggest(spark, dir, threshold = 0.96, probeBits = m0)
+          println(f"PROBE advisor n=$n bits=$m0 shape=${a.shape} " +
+            f"predRecall=${a.predictedRecall}%.4f " +
+            f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
+          (a.nTables, a.planesPerTable)
+        } else {
+          val Array(t0, p0) = shape.split("x").map(_.trim.toInt)
+          (t0, p0)
+        }
+      // clamp like the production knob does — a bits value past this
+      // shape's planes would otherwise measure the clamped route but then
+      // throw from pairRecallProbed AFTER the expensive timed run
+      val m = math.min(m0, p)
+      for (r <- rescues) {
+        spark.conf.set("graft.sim.bands.samelabel", s"${t}x$p")
+        spark.conf.set("graft.sim.probe.samelabel", m.toString)
+        spark.conf.set("graft.sim.rescue.samelabel", r.toString)
+        val tBanded = Corpora.timed(2)(run())
+        val bandedDf = SimilarityOps.nearestSameLabel(spark, dir).localCheckpoint()
+        // a hit = banded's neighbor is as close as exact's (id may differ
+        // on ties); a vector banded has NO row for is a miss — same rule
+        // as the crossover subcommand
+        val j = exact.select($"vec_id", $"cos".as("c_ex"))
+          .join(bandedDf.select($"vec_id", $"cos".as("c_b")), Seq("vec_id"), "left")
+          .withColumn("hit", ($"c_b" >= $"c_ex" - 1e-6).cast("long"))
+          .localCheckpoint()
+        val recall = j.agg(sum($"hit")).head.getLong(0).toDouble / nExact
+        // recall by population: vec_id < nBg are the uniform background (no
+        // cluster to share a bucket with — LSH's hard case), the rest
+        // clustered. The split shows WHERE the misses live.
+        val nBg = (n * Corpora.BgFrac).toInt
+        val Seq((bgHit, bgN), (clHit, clN)) = Seq(
+          j.filter($"vec_id" < nBg), j.filter($"vec_id" >= nBg))
+          .map(d => (d.agg(coalesce(sum($"hit"), lit(0L))).head.getLong(0),
+            math.max(d.count(), 1L)))
+        // the advisor's floor for this setting: price recall at the cosine
+        // where the corpus's true nearest neighbors actually sit (the
+        // clustered corpus concentrates same-cluster NNs near 1 - sigma²
+        // ≈ 0.97; isolated/background vectors sit much lower, which is the
+        // regime probing targets — print both ends)
+        val predTight = BandTuner.pairRecallProbed(0.97, t, p, m)
+        val predLoose = BandTuner.pairRecallProbed(0.60, t, p, m)
+        println(f"PROBE n=$n shape=${t}x$p bits=$m rescue=$r%.2f banded=$tBanded%7.2fs " +
+          f"xSlower=${tBanded / tExact}%5.3f " +
+          f"speedup=${tExact / tBanded}%5.2fx recall=$recall%.4f " +
+          f"recall_bg=${bgHit.toDouble / bgN}%.4f(n=$bgN) " +
+          f"recall_clustered=${clHit.toDouble / clN}%.4f " +
+          f"pred(0.97)=$predTight%.4f pred(0.60)=$predLoose%.4f")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Probe-knob frontier for the EMBEDDING-DEDUP route (round 8): the
+    * `graft.sim.probe.cosdedup` knob shipped in round 7 wired but
+    * unmeasured. Measures `dedup_embedding_cosine` on the crossover
+    * corpus: exact all-pairs once (baseline + truth), then banded at
+    * gate/advisor shapes with probeBits swept, reporting wall time, PAIR
+    * recall over the true ≥0.9-cosine pairs, ROW agreement on the
+    * user-visible output, the advisor's prediction, and the headroom a
+    * rescue analogue COULD buy (dedup has no per-row confidence signal —
+    * the only rescuable population is vectors with ZERO banded
+    * candidates; counting those with a true neighbor bounds any
+    * no-candidate rescue tier's recall gain).
+    */
+  private def dedupProbe(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val shapes = args.lift(1).getOrElse("8x4,auto")
+      .toLowerCase.split(",").map(_.trim).toSeq
+    val bits = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(0, 1, 2)
+    val spark = Session.local(32, "profile-dedup-probe")
+    // same setting as probe: keep the exact baseline on its best plan (the
+    // broadcast nested-loop theta-join over the ~26 MB corpus)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+    import spark.implicits._
+    val dir = Corpora.generate(spark, n)
+    println(s"DEDUPPROBE corpus n=$n shapes=${shapes.mkString(",")} dir=$dir")
+    def run(): Unit = noop(DedupOps.embeddingCosineDedup(spark, dir))
+    // exact truth, timed like the banded runs. The exact route is the full
+    // n² theta-join (no label to slice by), so passes default to 1 at big n
+    val exactPasses = sys.env.get("SPARK_GRAFT_DEDUPPROBE_EXACT_PASSES")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+    spark.conf.set("graft.sim.exact", "true")
+    val tExact = Corpora.timed(exactPasses)(run())
+    val exactRows = DedupOps.embeddingCosineDedup(spark, dir).localCheckpoint()
+    // true neighbor-pair set (v1 < v2, cos ≥ 0.9, self excluded) — the
+    // recall denominator. Derived once from the same theta-join the exact
+    // route uses.
+    val e = Tables.embeddings(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    val truePairs = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
+      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), $"v1" < $"v2")
+      .filter(expr("cosine_sim(e1, e2)") >= 0.9)
+      .select($"v1", $"v2").localCheckpoint()
+    val nTrue = math.max(truePairs.count(), 1L)
+    val nRows = math.max(exactRows.count(), 1L)
+    println(f"DEDUPPROBE n=$n exact=$tExact%7.2fs truePairs=$nTrue rows=$nRows")
+    spark.conf.set("graft.sim.exact", "false")
+    for (shape <- shapes; m0 <- bits) {
+      val (t, p) =
+        if (shape == "auto") {
+          // threshold 0.9 = the route's verify filter AND where this
+          // corpus's true pairs sit (clusters at σ=0.025 concentrate
+          // within-cluster cosines ≈ 0.96+; 0.9 is the conservative floor)
+          val a = BandTuner.suggest(spark, dir, threshold = 0.9, probeBits = m0)
+          println(f"DEDUPPROBE advisor n=$n bits=$m0 shape=${a.shape} " +
+            f"predRecall=${a.predictedRecall}%.4f " +
+            f"predSpeedup=${a.predictedSpeedup}%.1fx recommend=${a.recommendBanded}")
+          (a.nTables, a.planesPerTable)
+        } else {
+          val Array(t0, p0) = shape.split("x").map(_.trim.toInt)
+          (t0, p0)
+        }
+      val m = math.min(m0, p)
+      spark.conf.set("graft.sim.bands.cosdedup", s"${t}x$p")
+      spark.conf.set("graft.sim.probe.cosdedup", m.toString)
+      val tBanded = Corpora.timed(2)(run())
+      // pair recall: candidates that survive the exact ≥0.9 verify filter,
+      // against the true pair set (candidates are v1<v2-canonical already)
+      val cand = SimilarityOps.lshCandidateIds(spark, dir,
+          nTables = t, planesPerTable = p, probeBits = m)
+        .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
+        .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
+        .filter(expr("cosine_sim(e1, e2)") >= 0.9)
+        .select($"v1", $"v2").localCheckpoint()
+      val found = truePairs.join(cand, Seq("v1", "v2"), "left_semi").count()
+      // row agreement: the user-visible output (canonical + dup count)
+      val bandedRows = DedupOps.embeddingCosineDedup(spark, dir)
+      val agree = exactRows.join(bandedRows,
+        Seq("vec_id", "canonical_id", "n_near_dups"), "left_semi").count()
+      // rescue headroom: vectors with NO banded candidate but a true pair.
+      // (candidates count a vector on either side; orphans touch neither)
+      val touched = cand.select($"v1".as("v")).union(cand.select($"v2".as("v"))).distinct()
+      val withTrue = truePairs.select($"v1".as("v"))
+        .union(truePairs.select($"v2".as("v"))).distinct()
+      val rescuable = withTrue.join(touched, Seq("v"), "left_anti").count()
+      val predTight = BandTuner.pairRecallProbed(0.96, t, p, m)
+      val predFloor = BandTuner.pairRecallProbed(0.90, t, p, m)
+      println(f"DEDUPPROBE n=$n shape=${t}x$p bits=$m banded=$tBanded%7.2fs " +
+        f"speedup=${tExact / tBanded}%5.2fx " +
+        f"pairRecall=${found.toDouble / nTrue}%.4f " +
+        f"rowAgree=${agree.toDouble / nRows}%.4f " +
+        f"rescuableVecs=$rescuable " +
+        f"pred(0.96)=$predTight%.4f pred(0.90)=$predFloor%.4f")
+    }
+    spark.stop()
+  }
+
+  /** Document-side (MinHash) crossover measurement — round 7's answer to
+    * the round-6 gap "the MinHash banded route's only win is at 5k
+    * documents". Generates the Zipfian corpus ([[Corpora.generateDocs]])
+    * at 10–50× the sf0.1 document count, A/Bs exact n-gram Jaccard
+    * against the banded MinHash route through the REAL `ngramJaccard`
+    * knob, and validates [[BandTuner.suggestMinhash]]'s sampled
+    * candidate-fraction prediction against the measured candidate count.
+    */
+  private def docsCrossover(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(50000, 250000)
+    val spark = Session.local(32, "profile-docs-crossover")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    import spark.implicits._
+    for (n <- sizes) {
+      val dir = Corpora.generateDocs(spark, n)
+      println(s"DOCSX corpus n=$n dir=$dir")
+      // the advisor first: what shape would a deployment be told, and what
+      // candidate fraction does it predict from its 10k-doc sample?
+      val advice = BandTuner.suggestMinhash(spark, dir, jaccard = 0.75)
+      println(f"DOCSX n=$n advice shape=${advice.shape} " +
+        f"predRecall=${advice.predictedRecall}%.4f " +
+        f"predFrac=${advice.candidateFraction}%.6f " +
+        f"predSpeedup=${advice.predictedSpeedup}%.1fx " +
+        f"recommend=${advice.recommendBanded}")
+      def run(): Unit = noop(DedupOps.ngramJaccard(spark, dir))
+      // SPARK_GRAFT_DOCSX_SKIP_EXACT: banded-only legs for corpora whose
+      // exact self-join cannot finish (the Zipf-1.0 250k corpus spilled
+      // past the disk budget — that explosion IS the measurement); recall
+      // is then unavailable and printed as -1
+      val skipExact = sys.env.contains("SPARK_GRAFT_DOCSX_SKIP_EXACT")
+      val (tExact, exactOpt) =
+        if (skipExact) (Double.NaN, None)
+        else {
+          spark.conf.set("graft.sim.exact", "true")
+          val t = Corpora.timed(2)(run())
+          (t, Some(DedupOps.ngramJaccard(spark, dir).localCheckpoint()))
+        }
+      val nExact = exactOpt.map(e => math.max(e.count(), 1L)).getOrElse(1L)
+      // the advised shape, plus the gate's recall-heavy 8x2 for contrast
+      for (shape <- Seq(advice.shape, "8x2").distinct) {
+        spark.conf.set("graft.sim.exact", "false")
+        spark.conf.set("graft.sim.bands.minhash", shape)
+        val tBanded = Corpora.timed(2)(run())
+        val bandedDf = DedupOps.ngramJaccard(spark, dir).localCheckpoint()
+        val found = exactOpt.map(e => e.select($"d1", $"d2")
+          .join(bandedDf.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count())
+          .getOrElse(-1L)
+        // advisor validation: measured candidate fraction at this shape vs
+        // the sample-predicted one (for the advised shape)
+        val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
+        val allPairs = n.toDouble * (n - 1) / 2
+        println(f"DOCSX n=$n shape=$shape%-5s exact=$tExact%8.2fs banded=$tBanded%8.2fs " +
+          f"speedup=${tExact / tBanded}%5.2fx recall=${found.toDouble / nExact}%.4f " +
+          f"pairs=$nExact")
+        println(f"DOCSX n=$n shape=$shape%-5s advisor-validation " +
+          f"measuredFrac=${nCand / allPairs}%.6f " +
+          f"predictedFrac=${advice.candidateFraction}%.6f " +
+          f"candidates=$nCand")
+        spark.conf.unset("graft.sim.bands.minhash")
+      }
+      spark.conf.set("graft.sim.exact", "true")
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.BandTuner
-import graft.tools.ProfileCrossover
+import graft.tools.Corpora
 
 /** The band-shape advisor must reproduce both halves of the measured
   * crossover story (SCALE.md round 6): a clustered corpus at a tight
@@ -23,7 +23,7 @@ class BandTunerSpec extends SparkSpec {
   }
 
   test("clustered corpus, tight threshold: banded recommended at an aggressive shape") {
-    val dir = ProfileCrossover.generate(spark, 2000)
+    val dir = Corpora.generate(spark, 2000)
     val a = BandTuner.suggest(spark, dir, threshold = 0.9)
     assert(a.recommendBanded, s"expected banded on a clustered corpus: $a")
     assert(a.planesPerTable >= 6, s"expected small buckets at threshold 0.9: $a")
@@ -40,7 +40,7 @@ class BandTunerSpec extends SparkSpec {
   }
 
   test("an unreachable recall floor is never recommended, however well it prices") {
-    val dir = ProfileCrossover.generate(spark, 2000)
+    val dir = Corpora.generate(spark, 2000)
     // one table can't clear 0.99 at threshold 0.9 (single-plane collision
     // is 0.856) — the getOrElse(1) fallback shape must come back
     // recommendBanded=false even if the sampled cost looks good
@@ -81,7 +81,7 @@ class BandTunerSpec extends SparkSpec {
   }
 
   test("probing lets the same floor buy sharper tables, and prices the probe volume") {
-    val dir = ProfileCrossover.generate(spark, 2000)
+    val dir = Corpora.generate(spark, 2000)
     val base = BandTuner.suggest(spark, dir, threshold = 0.9)
     val probed = BandTuner.suggest(spark, dir, threshold = 0.9, probeBits = 3)
     assert(probed.probeBits == 3, s"advice must carry the probe setting: $probed")
@@ -94,7 +94,7 @@ class BandTunerSpec extends SparkSpec {
   }
 
   test("advice is deterministic") {
-    val dir = ProfileCrossover.generate(spark, 2000)
+    val dir = Corpora.generate(spark, 2000)
     val a1 = BandTuner.suggest(spark, dir, threshold = 0.9)
     val a2 = BandTuner.suggest(spark, dir, threshold = 0.9)
     assert(a1 == a2)
