@@ -146,10 +146,28 @@ object SimilarityOps extends QueryPack {
     // `within` columns partition the index (e.g. per-label): buckets only
     // pair inside the same partition value, shrinking candidate volume
     // for partition-filtered searches without touching the signatures.
-    // the prefilter blob is computed once per vector inside the same scan
-    // projection as the buckets, then rides the (tbl,bucket) shuffle
-    val blobCols = if (theta.isDefined) Seq(expr("int8_enc(embedding)").as("blob")) else Nil
-    val bucketed = Tables.embeddings(spark, dir)
+    // the prefilter blob is computed ONCE per vector, in a projection BELOW
+    // the bucket explode, then rides the (tbl,bucket) shuffle. Two plan
+    // subtleties, both load-bearing: (a) the blob must be a materialized
+    // COLUMN before the posexplode select — listing the int8_enc expression
+    // in the same select would extract the generator underneath it and
+    // re-evaluate the encoder per generated row (t× per vector); as a
+    // pass-through column it lands in the Generate's requiredChildOutput
+    // instead. (b) the coalesce makes the column provably non-null, or the
+    // nullIntolerant int8_keep join filter infers an IsNotNull(blob)
+    // constraint that re-runs the encoder in a Filter below the Project
+    // (Filter/Project don't share subexpressions — the best_cell lesson).
+    // int8_enc is null only for a null embedding, and those rows generate
+    // ZERO bucket rows anyway (posexplode of lsh_buckets' null), so the
+    // empty-blob sentinel can never reach int8_keep.
+    val e0 = Tables.embeddings(spark, dir)
+    val withBlob = theta match {
+      case Some(_) => e0.withColumn("blob",
+        coalesce(expr("int8_enc(embedding)"), lit(Array.emptyByteArray)))
+      case None => e0
+    }
+    val blobCols = if (theta.isDefined) Seq($"blob") else Nil
+    val bucketed = withBlob
       .select(($"vec_id" +: within.map(col)) ++ blobCols :+
         posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
           .as(Seq("tbl", "bucket")): _*)
@@ -186,7 +204,7 @@ object SimilarityOps extends QueryPack {
       // banded ≡ exact invariants are preserved (ExactnessSpec runs the
       // knob on).
       val stride = 1 + probeBits
-      val flipped = Tables.embeddings(spark, dir)
+      val flipped = withBlob
         .select(($"vec_id" +: within.map(col)) ++ blobCols :+
           posexplode(expr(
             s"lsh_probes(embedding, $nTables, $planesPerTable, $probeBits)"))
