@@ -18,7 +18,11 @@ import graft.plans.GraftFunctions
   * absorbs them (measured: predicted candidate reductions of 10²–10⁵
   * realize as 3.6–31× wall-clock over a fair exact baseline at 100k–250k
   * vectors — SCALE.md rounds 6–7, incl. the round-7 exact-baseline
-  * erratum).
+  * erratum). Candidate volume stays the right cost proxy after the
+  * round-10 int8 prefilter: the threshold routes now evaluate `int8_keep`
+  * once per RAW candidate inside the self-join stage (the term Σ|bucket|²
+  * counts), while the pair distinct and float verify downstream see only
+  * the survivors — a smaller per-candidate constant, same growth law.
   */
 final case class BandShapeAdvice(
     nTables: Int,
