@@ -178,9 +178,21 @@ object SimilarityOps extends QueryPack {
       case Some(t) => df.filter(call_function("int8_keep", $"b1", $"b2", lit(t)))
       case None => df
     }
-    def side(v: String, b: String): DataFrame = bucketed.select(
-      (keys.map(col) :+ $"vec_id".as(v)) ++
-        (if (theta.isDefined) Seq($"blob".as(b)) else Nil): _*)
+    // shuffle_hash hint on the prefiltered self-join: both sides are the
+    // SAME corpus-sized relation, so broadcast is never the scale-correct
+    // strategy — yet a session with a generous broadcast threshold (the
+    // crossover harness sets 256 MB for its exact baseline's benefit) will
+    // happily broadcast the blob-carrying side, and at 20k vectors that
+    // 135 MB broadcast measured 5× slower than the shuffle join (SCALE.md
+    // round 10). Shuffling also lets AQE reuse the one exchange for both
+    // sides. The unprefiltered path is left to the planner for
+    // round-over-round comparability of the historical crossover numbers.
+    def side(v: String, b: String): DataFrame = {
+      val s = bucketed.select(
+        (keys.map(col) :+ $"vec_id".as(v)) ++
+          (if (theta.isDefined) Seq($"blob".as(b)) else Nil): _*)
+      if (theta.isDefined) s.hint("shuffle_hash") else s
+    }
     // Base candidates: the symmetric bucket self-join — every pair appears
     // in both orders, the `<` keeps one, so the dominant base-bucket mass
     // is never duplicated into the distinct.
@@ -213,9 +225,14 @@ object SimilarityOps extends QueryPack {
         .withColumn("tbl", expr(s"pos div $stride").cast("int"))
       // int8_keep is symmetric, so rejecting before the least/greatest
       // canonicalization filters the same pairs it would after
+      val flippedSide = {
+        val s = flipped.select((keys.map(col) :+ $"vec_id".as("v1")) ++
+          (if (theta.isDefined) Seq($"blob".as("b1")) else Nil): _*)
+        // same corpus-sized-side reasoning as `side` above
+        if (theta.isDefined) s.hint("shuffle_hash") else s
+      }
       val probePairs = keepOf(
-        flipped.select((keys.map(col) :+ $"vec_id".as("v1")) ++
-            (if (theta.isDefined) Seq($"blob".as("b1")) else Nil): _*)
+        flippedSide
           .join(side("v2", "b2"), keys)
           .filter($"v1" =!= $"v2"))
         .select(least($"v1", $"v2").as("v1"), greatest($"v1", $"v2").as("v2"))

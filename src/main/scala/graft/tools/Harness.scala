@@ -224,7 +224,7 @@ object Harness {
     ("minhash", "minhash pipeline segment timing", minhash),
     ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
-    ("ab-prefilter", "[dir] — int8 candidate-prefilter on/off A/B", abPrefilter),
+    ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
     ("probe", "[n] [shape,...] [bits...] — multi-probe frontier (same-label)", probe),
@@ -521,14 +521,28 @@ object Harness {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     spark.conf.set("graft.sim.exact", "false")
+    // optional shape override (args 2/3: pairs shape, cosdedup shape) — the
+    // gate defaults are right for the gate tables; a crossover corpus wants
+    // its corpus-matched shape (the prefilter's worst case is a dup-heavy
+    // corpus where most candidates SURVIVE, and that case only exists at a
+    // clustered corpus + matched shape)
+    def shapeOf(i: Int, defT: Int, defP: Int): (Int, Int) =
+      args.lift(i).map(_.toLowerCase.split("x").map(_.trim.toInt) match {
+        case Array(t, p) => (t, p)
+        case _ => sys.error(s"shape arg must be <tables>x<planes>, got '${args(i)}'")
+      }).getOrElse((defT, defP))
+    val (pT, pP) = shapeOf(1, 16, 2)
+    val (cT, cP) = shapeOf(2, 8, 4)
+    spark.conf.set("graft.sim.bands.pairs", s"${pT}x$pP")
+    spark.conf.set("graft.sim.bands.cosdedup", s"${cT}x$cP")
     // candidate-mass evidence first (cheap counts, not timed)
     for ((label, t, p, theta) <- Seq(
-        ("pairs@0.4", 16, 2, SimilarityOps.PairsThreshold),
-        ("cosdedup@0.9", 8, 4, DedupOps.CosDedupThreshold))) {
+        (s"pairs@0.4 ${pT}x$pP", pT, pP, SimilarityOps.PairsThreshold),
+        (s"cosdedup@0.9 ${cT}x$cP", cT, cP, DedupOps.CosDedupThreshold))) {
       val all = SimilarityOps.lshCandidateIds(spark, dir, t, p).count()
       val kept = SimilarityOps.lshCandidateIds(spark, dir, t, p,
         prefilterTheta = Some(theta)).count()
-      println(f"ABPREFILTER $label%-14s candidates=$all kept=$kept " +
+      println(f"ABPREFILTER $label%-18s candidates=$all kept=$kept " +
         f"killed=${1.0 - kept.toDouble / math.max(all, 1)}%.4f")
     }
     val queries = Seq[(String, () => DataFrame)](
