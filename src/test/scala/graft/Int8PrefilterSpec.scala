@@ -123,6 +123,27 @@ class Int8PrefilterSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("blob mismatch")), e.toString)
   }
 
+  test("prefiltered self-join never broadcasts, even at a generous broadcast threshold") {
+    // regression guard for the round-10 pathology: the blob-carrying
+    // bucketed side is corpus-sized, and a session with a raised
+    // autoBroadcastJoinThreshold (the crossover harness uses 256 MB for its
+    // exact baseline) must NOT broadcast it into the candidate self-join —
+    // the shuffle_hash hint pins the strategy in the plan itself
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256L << 20).toString)
+    try {
+      val plan = planOf(SimilarityOps.lshCandidateIds(spark, sfDir,
+        nTables = 16, planesPerTable = 2, probeBits = 1,
+        prefilterTheta = Some(SimilarityOps.PairsThreshold)))
+      assert(plan.contains("int8_keep"), plan.linesIterator.take(20).mkString("\n"))
+      // every join evaluating the prefilter must be the shuffled form
+      val offending = plan.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains("int8_keep"))
+      assert(offending.isEmpty, offending.mkString("\n"))
+      assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("prefiltered banded routes ≡ unfiltered banded routes (both on and off)") {
     // ExactnessSpec pins banded ≡ exact with the default-on prefilter; this
     // pins the knob itself — turning the prefilter OFF changes cost, not
