@@ -258,6 +258,69 @@ object SimilarityOps extends QueryPack {
     math.min(v, planesPerTable)
   }
 
+  /** Scored LSH neighbor pairs for DUPLICATE-INSENSITIVE consumers (the
+    * top-1/argmax family): (v1, within..., v2, cos) rows WITH one row per
+    * shared (table, bucket) — a pair colliding in k tables appears k times.
+    * `max` doesn't care, and skipping canonicalization + distinct transforms
+    * the route's exchange profile: [[lshCandidateIds]]-based argmax paid a
+    * distinct exchange on Θ(Σ|bucket|²) id pairs plus two corpus joins whose
+    * second shuffled a 64-float array PER PAIR (the dominant bytes at every
+    * measured size); here the float vectors ride the narrow n·t-row bucket
+    * shuffle once, the cosine runs in the self-join stage, and the only
+    * pair-proportional work is in-stage compute (re-scoring a pair once per
+    * shared table — bounded by nTables, and cheaper than exchanging it even
+    * once). The argmax's partial aggregate then reduces in-stage to one row
+    * per (v1, partition).
+    *
+    * Same hyperplane family, same kernels, same cosine expression as the
+    * candidate route — for any fixed pair the emitted cos is bit-identical,
+    * so argmax results match the distinct-path form exactly (ExactnessSpec
+    * and the annLsh oracle pin it). shuffle_hash on both sides for the same
+    * corpus-sized-sides reason as the prefiltered join above.
+    */
+  private[graft] def lshScoredNeighbors(spark: SparkSession, dir: String,
+      nTables: Int, planesPerTable: Int, within: Seq[String] = Nil,
+      probeBits: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(nTables * planesPerTable <= NPlanesMax,
+      s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
+    require(probeBits >= 0 && probeBits <= planesPerTable,
+      s"probeBits $probeBits must be in [0, planesPerTable=$planesPerTable]")
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val bucketed = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+
+      posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
+        .as(Seq("tbl", "bucket")): _*)
+    val keys = Seq("tbl", "bucket") ++ within
+    def sideOf(df: DataFrame, v: String, em: String): DataFrame =
+      df.select(keys.map(col) :+ $"vec_id".as(v) :+ $"embedding".as(em): _*)
+        .hint("shuffle_hash")
+    val outCols = ($"v1" +: within.map(col)) :+ $"v2" :+
+      expr("cosine_sim(e1, e2)").as("cos")
+    // no v1 < v2: both directions fall out of the symmetric self-join
+    val base = sideOf(bucketed, "v1", "e1").join(sideOf(bucketed, "v2", "e2"), keys)
+      .filter($"v1" =!= $"v2")
+      .select(outCols: _*)
+    if (probeBits == 0) base
+    else {
+      // probe discoveries are DIRECTED (each vector probes its own
+      // low-margin planes) — emit the swap too so the argmax sees the pair
+      // from both sides, mirroring the candidate route's union-reverse
+      val stride = 1 + probeBits
+      val flipped = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+
+          posexplode(expr(
+            s"lsh_probes(embedding, $nTables, $planesPerTable, $probeBits)"))
+            .as(Seq("pos", "bucket")): _*)
+        .filter(pmod($"pos", lit(stride)) =!= 0)
+        .withColumn("tbl", expr(s"pos div $stride").cast("int"))
+      val probed = sideOf(flipped, "v1", "e1").join(sideOf(bucketed, "v2", "e2"), keys)
+        .filter($"v1" =!= $"v2")
+        .select(outCols: _*)
+      base.union(probed).union(probed.select(
+        ($"v2".as("v1") +: within.map(col)) :+ $"v1".as("v2") :+ $"cos": _*))
+    }
+  }
+
   /** Brute-force exact top-k: broadcast queries, one codegen scoring scan,
     * then the bounded-heap [[graft.functions.TopKAgg]] per query id —
     * map-side partial heaps mean the shuffle carries ≤ k rows per
@@ -298,15 +361,10 @@ object SimilarityOps extends QueryPack {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    // candidate ids first (ordered pairs → both directions), vectors
-    // re-joined afterwards: the distinct runs on two longs, not two
-    // 64-float arrays
-    val cand = lshCandidateIds(spark, dir, NTables, PlanesPerTable)
-    val pairs = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
-      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
-      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
-      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+    // duplicate-insensitive consumer → the no-distinct scored form: cosine
+    // runs inside the bucket self-join stage ([[lshScoredNeighbors]]); the
+    // candidate distinct and both per-pair float joins are gone (round 10)
+    val pairs = lshScoredNeighbors(spark, dir, NTables, PlanesPerTable)
     // per-v1 argmax via the flat-buffer arg_max_long aggregate — the
     // max_by(struct, struct) form this replaces carried struct buffers,
     // which disqualify HashAggregate and plan as SortAggregate: the whole
@@ -391,14 +449,15 @@ object SimilarityOps extends QueryPack {
         argmaxOf(a.join(b, Seq("label")).filter($"v1" =!= $"v2"))
       } else {
         // per-label index: buckets pair within a label only (same coverage
-        // for same-label pairs as a global index, ~|labels|× less volume)
+        // for same-label pairs as a global index, ~|labels|× less volume).
+        // Top-1 is duplicate-insensitive → the no-distinct scored form
+        // ([[lshScoredNeighbors]]): cosine in the self-join stage, no
+        // candidate distinct, no per-pair float joins (round 10)
         val (t, p) = bandShape(spark, "samelabel", defTables = 32, defPlanes = 1)
-        val cand = lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
-          within = Seq("label"), probeBits = probeBitsOf(spark, "samelabel", p))
-        val banded = argmaxOf(
-          cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
-            .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label"), Seq("v1"))
-            .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2")))
+        val banded = lshScoredNeighbors(spark, dir, nTables = t, planesPerTable = p,
+            within = Seq("label"), probeBits = probeBitsOf(spark, "samelabel", p))
+          .groupBy($"v1", $"label")
+          .agg(expr("arg_max_long(v2, cos)").as("b"))
         val key = "samelabel"
         val rescue = rescueOf(spark, key)
         if (rescue <= 0.0) banded
