@@ -374,9 +374,14 @@ object DedupOps extends QueryPack {
     val e = Tables.embeddings(spark, dir)
     val neighbors =
       if (SimilarityOps.exactSim(spark)) {
-        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"))
-        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"))
-        a.join(b, $"v1" === $"v2" || expr("cosine_sim(e1, e2)") >= CosDedupThreshold)
+        // exact theta-join scores C(n,2) pairs: precomputed norms + cosPre
+        // (bit-identical to the cosine_sim kernel incl. the zero-norm →
+        // 0.0 convention, ~3× less per-pair work — SimilarityOps.cosPre)
+        val en = e.withColumn("nrm", SimilarityOps.normCol)
+        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"))
+        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"))
+        a.join(b, $"v1" === $"v2" ||
+            SimilarityOps.cosPre("e1", "e2", "n1", "n2") >= CosDedupThreshold)
           .select($"v1", $"v2")
       } else {
         val (t, p) = SimilarityOps.bandShape(spark, "cosdedup", defTables = 8, defPlanes = 4)

@@ -258,6 +258,29 @@ object SimilarityOps extends QueryPack {
     math.min(v, planesPerTable)
   }
 
+  /** Per-vector L2 norm, precomputed ONCE in the narrow scan so per-pair
+    * scoring pays one accumulator instead of three: the `cosine_sim`
+    * kernel re-derives BOTH norms inside every pair evaluation, which is
+    * the right shape for a one-shot pair but 3× too much work for the
+    * all-pairs / scored-self-join legs that score Θ(n²/L) or Θ(Σ|bucket|²)
+    * pairs against the same vectors.
+    */
+  private[graft] def normCol: Column = expr("sqrt(dot_product(embedding, embedding))")
+
+  /** Precomputed-norm cosine — BIT-IDENTICAL to `cosine_sim(e1, e2)`:
+    * the dot accumulates in the same left-to-right order, each norm is the
+    * same `Math.sqrt` of the same left-to-right Σx² the kernel computes
+    * per pair, and `dot / (n1 * n2)` is the kernel's own final expression
+    * (it multiplies the two square roots before dividing). The `when`
+    * reproduces the kernel's zero-norm → 0.0 convention — without it a
+    * 0/0 would yield NaN, which Spark orders ABOVE every real and would
+    * silently pass ≥θ filters. Bit-identity is what keeps every oracle
+    * hash and ExactnessSpec row unchanged when a leg switches form.
+    */
+  private[graft] def cosPre(e1: String, e2: String, n1: String, n2: String): Column =
+    when(col(n1) === 0.0 || col(n2) === 0.0, lit(0.0))
+      .otherwise(expr(s"dot_product($e1, $e2)") / (col(n1) * col(n2)))
+
   /** Scored LSH neighbor pairs for DUPLICATE-INSENSITIVE consumers (the
     * top-1/argmax family): (v1, within..., v2, cos) rows WITH one row per
     * shared (table, bucket) — a pair colliding in k tables appears k times.
@@ -287,18 +310,21 @@ object SimilarityOps extends QueryPack {
     require(probeBits >= 0 && probeBits <= planesPerTable,
       s"probeBits $probeBits must be in [0, planesPerTable=$planesPerTable]")
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val bucketed = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+
+    // norms ride next to the embeddings (normCol, computed once per vector
+    // below the explode — same pass-through-the-Generate shape as the
+    // prefilter blob) so per-pair scoring is one dot, not dot + two Σx²
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", normCol)
+    val bucketed = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+ $"nrm" :+
       posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
         .as(Seq("tbl", "bucket")): _*)
     val keys = Seq("tbl", "bucket") ++ within
-    def sideOf(df: DataFrame, v: String, em: String): DataFrame =
-      df.select(keys.map(col) :+ $"vec_id".as(v) :+ $"embedding".as(em): _*)
+    def sideOf(df: DataFrame, v: String, em: String, n: String): DataFrame =
+      df.select(keys.map(col) :+ $"vec_id".as(v) :+ $"embedding".as(em) :+ $"nrm".as(n): _*)
         .hint("shuffle_hash")
     val outCols = ($"v1" +: within.map(col)) :+ $"v2" :+
-      expr("cosine_sim(e1, e2)").as("cos")
+      cosPre("e1", "e2", "n1", "n2").as("cos")
     // no v1 < v2: both directions fall out of the symmetric self-join
-    val base = sideOf(bucketed, "v1", "e1").join(sideOf(bucketed, "v2", "e2"), keys)
+    val base = sideOf(bucketed, "v1", "e1", "n1").join(sideOf(bucketed, "v2", "e2", "n2"), keys)
       .filter($"v1" =!= $"v2")
       .select(outCols: _*)
     if (probeBits == 0) base
@@ -307,13 +333,13 @@ object SimilarityOps extends QueryPack {
       // low-margin planes) — emit the swap too so the argmax sees the pair
       // from both sides, mirroring the candidate route's union-reverse
       val stride = 1 + probeBits
-      val flipped = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+
+      val flipped = e.select(($"vec_id" +: within.map(col)) :+ $"embedding" :+ $"nrm" :+
           posexplode(expr(
             s"lsh_probes(embedding, $nTables, $planesPerTable, $probeBits)"))
             .as(Seq("pos", "bucket")): _*)
         .filter(pmod($"pos", lit(stride)) =!= 0)
         .withColumn("tbl", expr(s"pos div $stride").cast("int"))
-      val probed = sideOf(flipped, "v1", "e1").join(sideOf(bucketed, "v2", "e2"), keys)
+      val probed = sideOf(flipped, "v1", "e1", "n1").join(sideOf(bucketed, "v2", "e2", "n2"), keys)
         .filter($"v1" =!= $"v2")
         .select(outCols: _*)
       base.union(probed).union(probed.select(
@@ -401,19 +427,25 @@ object SimilarityOps extends QueryPack {
     val e = Tables.embeddings(spark, dir)
     val pairs =
       if (exactSim(spark)) {
-        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1"))
-        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2"))
+        // exact all-pairs leg scores C(n,2) pairs: precomputed norms +
+        // cosPre (bit-identical to cosine_sim, ~3× less per-pair work)
+        val en = e.withColumn("nrm", normCol)
+        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label".as("l1"))
+        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label".as("l2"))
         a.join(b, $"v1" < $"v2")
+          .withColumn("cos", cosPre("e1", "e2", "n1", "n2"))
       } else {
+        // banded verify runs on the int8-prefiltered survivor slice — tiny
+        // by construction, so the plain kernel form stays
         val (t, p) = bandShape(spark, "pairs", defTables = 16, defPlanes = 2)
         lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
           probeBits = probeBitsOf(spark, "pairs", p),
           prefilterTheta = Some(PairsThreshold))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
+          .withColumn("cos", expr("cosine_sim(e1, e2)"))
       }
     pairs
-      .withColumn("cos", expr("cosine_sim(e1, e2)"))
       .filter($"cos" >= PairsThreshold)
       .select($"v1", $"v2", $"l1", $"l2", round($"cos", 6).as("cos"))
       .orderBy($"v1", $"v2")
@@ -438,14 +470,18 @@ object SimilarityOps extends QueryPack {
     // SortAggregate and sorted the Θ(n²/L) pair stream per partition,
     // spilling >90 GB at 250k vectors (SCALE.md round 7). The shuffle
     // still carries one row per (v1, partition), never the scored pairs.
+    // pairs carry precomputed norms (n1, n2): the all-pairs legs score
+    // Θ(n²/L) pairs, so cosPre's one-accumulator form is ~3× less per-pair
+    // work than the cosine_sim kernel, bit-identically (see cosPre)
     def argmaxOf(pairs: DataFrame): DataFrame = pairs
-      .withColumn("cos", expr("cosine_sim(e1, e2)"))
+      .withColumn("cos", cosPre("e1", "e2", "n1", "n2"))
       .groupBy($"v1", $"label")
       .agg(expr("arg_max_long(v2, cos)").as("b"))
+    val en = e.withColumn("nrm", normCol)
     val best =
       if (exactSim(spark)) {
-        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
-        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label")
+        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label")
+        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label")
         argmaxOf(a.join(b, Seq("label")).filter($"v1" =!= $"v2"))
       } else {
         // per-label index: buckets pair within a label only (same coverage
@@ -514,12 +550,12 @@ object SimilarityOps extends QueryPack {
           // hint: `resolved` is an eager localCheckpoint, so the broadcast
           // ships materialized rows, not a pending aggregation subtree.
           val probesBase =
-            e.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti")
-              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"label")
+            en.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti")
+              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label")
           val probes =
             if (frac <= BroadcastSafeRescueFrac) broadcast(probesBase) else probesBase
           val tail = probes
-            .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label"), Seq("label"))
+            .join(en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label"), Seq("label"))
             .filter($"v1" =!= $"v2")
           resolved.union(argmaxOf(tail))
         }
