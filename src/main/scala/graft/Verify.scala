@@ -79,17 +79,20 @@ object Verify {
       tryWrite(repoRoot.resolve("oracle_sql.json"))
     // LOUD failure summary (round-8 lesson: a 30-query loader regression
     // shipped silently because failures were only stderr-logged per query).
-    // One summary line on stdout AND a file next to the parquets, then a
-    // nonzero exit when anything failed — the driver still gets every
-    // successful parquet plus oracle_sql.json, written above.
+    // One summary line on stdout AND a file next to the parquets; a nonzero
+    // exit is strict-mode only (see the GRAFT_VERIFY_STRICT note below) —
+    // the driver still gets every successful parquet plus oracle_sql.json.
     // Mechanical testdata fingerprint (r9 verdict #4): tie this dump to the
     // exact fixture generation it ran against, so a CORRECTNESS_r{N} can be
     // reconciled without trusting hand-written prose in COVERAGE.md.
     // {table, rows, ts_type, mtime}: ts_type is the stored dtype of a `ts`
     // column where one exists ("-" otherwise); mtime is the newest file in
-    // the table's parquet directory, UTC ISO-8601.
-    val fingerprint = try {
-      graft.core.Tables.names.map { n =>
+    // the table's parquet directory, UTC ISO-8601. The try is PER TABLE —
+    // one missing/corrupt fixture must not erase the fingerprint of the
+    // other nine (a partial regen is exactly what this exists to catch);
+    // the bad table gets an {"err": ...} entry instead.
+    val fingerprint = graft.core.Tables.names.map { n =>
+      try {
         val dir = Paths.get(s"$sfDir/$n.parquet")
         val df = spark.read.parquet(dir.toString)
         val tsType = df.schema.find(_.name == "ts")
@@ -97,17 +100,22 @@ object Verify {
         // driver testdata ships single parquet files; accept a directory of
         // part-files too (graft's own writers produce those)
         val mtime =
-          if (Files.isDirectory(dir))
-            Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
-              .map(p => Files.getLastModifiedTime(p).toMillis).max
-          else Files.getLastModifiedTime(dir).toMillis
+          if (Files.isDirectory(dir)) {
+            val s = Files.list(dir)
+            try {
+              val times = s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+                .map(p => Files.getLastModifiedTime(p).toMillis)
+              if (times.isEmpty) Files.getLastModifiedTime(dir).toMillis
+              else times.max
+            } finally s.close()
+          } else Files.getLastModifiedTime(dir).toMillis
         val iso = java.time.Instant.ofEpochMilli(mtime).toString
         s"""{"table":${q(n)},"rows":${df.count()},"ts_type":${q(tsType)},"mtime":${q(iso)}}"""
-      }.mkString("[", ",", "]")
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[verify] fingerprint skipped: ${e.getMessage}")
-      "[]"
-    }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] fingerprint for $n failed: ${e.getMessage}")
+        s"""{"table":${q(n)},"err":${q(String.valueOf(e.getMessage))}}"""
+      }
+    }.mkString("[", ",", "]")
     val summary = s"""{"attempted":${attempted.size},"failed":${failed.size},""" +
       s""""failed_names":${failed.map(q).mkString("[", ",", "]")},""" +
       s""""testdata":$fingerprint}"""

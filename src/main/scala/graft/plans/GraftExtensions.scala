@@ -101,6 +101,9 @@ object GraftFunctions {
           case Literal(v: Double, _) => v
           case Literal(v: Float, _) => v.toDouble
           case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          // SQL text parses boundary thetas like 0 or 1 as integral literals
+          case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
           case other => throw new IllegalArgumentException(
             s"int8_keep: theta must be a numeric literal, got $other")
         }

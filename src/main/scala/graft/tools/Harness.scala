@@ -568,7 +568,10 @@ object Harness {
     val spark = Session.local(32, "time-banded")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     import spark.implicits._
-    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_crossover/n20000"
+    // default = the path Corpora.generate(spark, 20000) actually writes
+    // (the generator always appends the background-fraction suffix)
+    val dir = if (args.nonEmpty) args(0)
+      else s"/tmp/graft_crossover/n20000_bg${math.round(Corpora.BgFrac * 100)}"
     val shape = if (args.length > 1) args(1) else "8x8"
     val Array(t, p) = shape.split("x").map(_.toInt)
     graft.plans.GraftFunctions.register(spark)

@@ -111,6 +111,21 @@ class Int8PrefilterSpec extends SparkSpec {
     assert(math.abs(Int8Blob.qnorm(blob) - qn) < 1e-12)
   }
 
+  test("int8_keep accepts SQL-text thetas of every numeric literal shape") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((randVec(), randVec())).toDF("a", "b")
+    // SQL text parses 1 as Int, 0.4 as Decimal; the Column API builds
+    // Double — all three must resolve (boundary thetas 0/1 are the
+    // integral case a user probing the kernel hits first)
+    val r = df.select(
+      expr("int8_keep(int8_enc(a), int8_enc(b), 1)").as("k1"),
+      expr("int8_keep(int8_enc(a), int8_enc(b), 0.4)").as("kd"),
+      call_function("int8_keep", expr("int8_enc(a)"), expr("int8_enc(b)"), lit(0.4)).as("kc"))
+      .collect().head
+    assert(!r.anyNull)
+  }
+
   test("int8_keep rejects a mismatched blob length loudly") {
     import spark.implicits._
     GraftFunctions.register(spark)
