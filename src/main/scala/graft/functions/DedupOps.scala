@@ -227,12 +227,20 @@ object DedupOps extends QueryPack {
     import spark.implicits._
     val (bands, rows) = minhashShape(spark)
     val sigs = minhashSigsOf(Tables.documents(spark, dir), bands * rows)
-    bandBuckets(sigs, bands, rows)
-      .groupBy($"bb").agg(collect_set($"doc_id").as("docs"))
-      .filter(size($"docs") > 1)
-      .select(explode($"docs").as("d1"), $"docs")
-      .select($"d1", explode($"docs").as("d2"))
+    // bucket SELF-JOIN, not collect_set-then-explode² (round 10): the old
+    // form materialized every bucket's doc list in ONE aggregation buffer
+    // and then expanded |bucket|² pairs from a single row — at corpus scale
+    // a degenerate band value (near-empty documents share signatures) is an
+    // unbounded array in one ObjectHashAggregate buffer and a one-row
+    // explosion no executor survives. The join streams the same pair set,
+    // spills gracefully, and AQE's skew handling can split a hot bucket;
+    // it is also the shape the embedding-side candidate route has always
+    // used. shuffle_hash for the usual corpus-sized-sides reason.
+    val b = bandBuckets(sigs, bands, rows)
+    b.select($"bb", $"doc_id".as("d1")).hint("shuffle_hash")
+      .join(b.select($"bb", $"doc_id".as("d2")).hint("shuffle_hash"), Seq("bb"))
       .filter($"d1" < $"d2")
+      .select($"d1", $"d2")
       .distinct()
   }
 

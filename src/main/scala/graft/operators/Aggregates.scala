@@ -81,22 +81,34 @@ object Aggregates extends QueryPack {
       .orderBy($"event_type")
   }
 
-  /** UniqValueCount parity: exact distinct count + capped retained item list
-    * (`maxNumItems`). The cap is what made it safe at scale in the reference;
-    * here the capped list is `slice(sort_array(collect_set))` and the
-    * scale-safe variant is `approx_count_distinct` (see approxDistinct).
+  /** UniqValueCount parity: exact distinct count + capped retained item
+    * list (`maxNumItems`). The cap is what made it safe at scale in the
+    * reference, and since round 10 it is actually enforced here: the
+    * earlier `slice(sort_array(collect_set(user_id)), 1, 5)` form built
+    * the FULL distinct set in one aggregation buffer before slicing —
+    * with only a handful of event_type keys, a corpus-scale user
+    * population is an unbounded single-key array (the same hazard class
+    * as the minhash collect_set, fixed the same round). Now: a streaming
+    * two-phase distinct (map-combined HashAggregate on (event_type,
+    * user_id)) feeds an exact count plus the bounded-heap [[TopKAgg]]
+    * keeping the 5 smallest distinct users (score = −user_id; heap order
+    * score desc = user asc, matching the sorted slice bit-for-bit —
+    * user_id is far below the 2^53 lossless double bound). Buffers are
+    * O(5), never O(distinct users).
     */
   def uniqValueCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val low5 = udaf(new graft.functions.TopKAgg(5))
     Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("n_distinct"),
+        count(lit(1)).as("n_distinct"),
         // joined to a scalar string: array-typed output columns crash the
         // driver's pandas canonicalizer (unhashable ndarray)
         array_join(
-          transform(slice(sort_array(collect_set($"user_id")), 1, 5),
-            _.cast("string")), ",").as("first_users"))
+          transform(low5(-$"user_id".cast("double"), $"user_id"),
+            s => s.getField("key").cast("string")), ",").as("first_users"))
       .orderBy($"event_type")
   }
 
