@@ -386,8 +386,8 @@ object DedupOps extends QueryPack {
         // (bit-identical to the cosine_sim kernel incl. the zero-norm →
         // 0.0 convention, ~3× less per-pair work — SimilarityOps.cosPre)
         val en = e.withColumn("nrm", SimilarityOps.normCol)
-        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"))
-        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"))
+        val a = SimilarityOps.vecSide(en, "v1", "e1", "n1")
+        val b = SimilarityOps.vecSide(en, "v2", "e2", "n2")
         a.join(b, $"v1" === $"v2" ||
             SimilarityOps.cosPre("e1", "e2", "n1", "n2") >= CosDedupThreshold)
           .select($"v1", $"v2")

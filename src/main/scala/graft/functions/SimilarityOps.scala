@@ -281,6 +281,18 @@ object SimilarityOps extends QueryPack {
     when(col(n1) === 0.0 || col(n2) === 0.0, lit(0.0))
       .otherwise(expr(s"dot_product($e1, $e2)") / (col(n1) * col(n2)))
 
+  /** One side of a precomputed-norm pair-scoring leg: (vec_id, embedding,
+    * nrm) renamed for the join plus any carried columns. The rename triple
+    * is [[cosPre]]'s input contract — one helper instead of hand-kept
+    * copies at every leg (a drifted alias on one site would break that
+    * leg's bit-identity silently). Input must already carry `nrm`
+    * ([[normCol]]).
+    */
+  private[graft] def vecSide(en: DataFrame, v: String, e: String, n: String,
+      extra: (String, String)*): DataFrame =
+    en.select(Seq(col("vec_id").as(v), col("embedding").as(e), col("nrm").as(n)) ++
+      extra.map { case (c, a) => col(c).as(a) }: _*)
+
   /** Scored LSH neighbor pairs for DUPLICATE-INSENSITIVE consumers (the
     * top-1/argmax family): (v1, within..., v2, cos) rows WITH one row per
     * shared (table, bucket) — a pair colliding in k tables appears k times.
@@ -430,8 +442,8 @@ object SimilarityOps extends QueryPack {
         // exact all-pairs leg scores C(n,2) pairs: precomputed norms +
         // cosPre (bit-identical to cosine_sim, ~3× less per-pair work)
         val en = e.withColumn("nrm", normCol)
-        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label".as("l1"))
-        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label".as("l2"))
+        val a = vecSide(en, "v1", "e1", "n1", "label" -> "l1")
+        val b = vecSide(en, "v2", "e2", "n2", "label" -> "l2")
         a.join(b, $"v1" < $"v2")
           .withColumn("cos", cosPre("e1", "e2", "n1", "n2"))
       } else {
@@ -480,8 +492,8 @@ object SimilarityOps extends QueryPack {
     val en = e.withColumn("nrm", normCol)
     val best =
       if (exactSim(spark)) {
-        val a = en.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label")
-        val b = en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label")
+        val a = vecSide(en, "v1", "e1", "n1", "label" -> "label")
+        val b = vecSide(en, "v2", "e2", "n2", "label" -> "label")
         argmaxOf(a.join(b, Seq("label")).filter($"v1" =!= $"v2"))
       } else {
         // per-label index: buckets pair within a label only (same coverage
@@ -549,13 +561,13 @@ object SimilarityOps extends QueryPack {
           // is slower but cannot exhaust driver/executor memory. Safe to
           // hint: `resolved` is an eager localCheckpoint, so the broadcast
           // ships materialized rows, not a pending aggregation subtree.
-          val probesBase =
-            en.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti")
-              .select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"), $"label")
+          val probesBase = vecSide(
+            en.join(resolved.select($"v1".as("vec_id")), Seq("vec_id"), "left_anti"),
+            "v1", "e1", "n1", "label" -> "label")
           val probes =
             if (frac <= BroadcastSafeRescueFrac) broadcast(probesBase) else probesBase
           val tail = probes
-            .join(en.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"), $"label"), Seq("label"))
+            .join(vecSide(en, "v2", "e2", "n2", "label" -> "label"), Seq("label"))
             .filter($"v1" =!= $"v2")
           resolved.union(argmaxOf(tail))
         }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   *    one `groupBy.agg` computing the whole descriptor list in a single
   *    pass (`multi_agg`), plus the registry in [[graft.functions.AggRegistry]].
   *  - `UniqValueCount` (exact distinct + capped retained list) →
-  *    `countDistinct` + `slice(sort_array(collect_set(v)), 1, cap)`.
+  *    two-phase streaming distinct + bounded-heap [[graft.functions.TopKAgg]]
+  *    retained list (buffers O(cap), never O(distinct) — round 10).
   *  - `ValueHistogram` → custom Aggregator in [[graft.functions.ValueHistogram]];
   *    the query here is the composed two-level form the oracle can check.
   *  - cube/rollup/pivot: absent in the reference (hand-written MR);
@@ -100,6 +101,11 @@ object Aggregates extends QueryPack {
     import spark.implicits._
     val low5 = udaf(new graft.functions.TopKAgg(5))
     Tables.events(spark, dir)
+      // NULL user_id rows are excluded EXPLICITLY: the pre-round-10
+      // countDistinct/collect_set forms both ignored NULLs implicitly, and
+      // a NULL key would crash TopKAgg's non-nullable Scored encoder —
+      // keep the semantics identical and the failure impossible
+      .where($"user_id".isNotNull)
       .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
