@@ -170,6 +170,34 @@ class ExactnessSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("scored no-distinct route ≡ candidate-distinct route for argmax (incl. probing)") {
+    // the round-10 scored form (lshScoredNeighbors) skips canonicalization
+    // and the pair distinct because max is duplicate-insensitive; this pins
+    // the two routes' argmax DIRECTLY against each other (ExactnessSpec's
+    // other tests pin them only end-to-end through the query surface), so a
+    // future edit to either form — a changed swap direction, a lost probe
+    // leg — fails here with the route named
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    for (bits <- Seq(0, 2)) {
+      val scored = SimilarityOps.lshScoredNeighbors(spark, sfDir, 4, 4, probeBits = bits)
+        .groupBy($"v1").agg(expr("arg_max_long(v2, cos)").as("b"))
+        .select($"v1", $"b.id".as("nearest"), round($"b.score", 6).as("cos"))
+      val cand = SimilarityOps.lshCandidateIds(spark, sfDir, 4, 4, probeBits = bits)
+      val viaDistinct = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
+        .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
+        .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))
+        .withColumn("cos", expr("cosine_sim(e1, e2)"))
+        .groupBy($"v1").agg(expr("arg_max_long(v2, cos)").as("b"))
+        .select($"v1", $"b.id".as("nearest"), round($"b.score", 6).as("cos"))
+      val s = scored.collect().map(_.toString).toSet
+      val d = viaDistinct.collect().map(_.toString).toSet
+      assert(s == d, s"bits=$bits missing=${d -- s} spurious=${s -- d}")
+      assert(s.nonEmpty)
+    }
+  }
+
   test("ann_lsh unchanged by the wider hyperplane family (first 16 planes identical)") {
     // the plane family has grown (16 → 32 for the candidate configs, then
     // to the 128-plane Hyperplanes.Max for the r6 crossover/deployment
