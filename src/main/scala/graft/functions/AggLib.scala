@@ -148,6 +148,29 @@ class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
 }
 
+/** Bounded "k smallest longs" — Long-keyed end to end, so ids at or above
+  * the 2^53 double-lossless bound order correctly (the earlier route fed
+  * [[TopKAgg]] a `-id` cast to double, which silently reorders huge ids),
+  * and NULL-tolerant: a null input is skipped, matching the oracle's
+  * COUNT/LIST DISTINCT semantics where NULL keys never surface as items.
+  * Same amortized O(log k) insert discipline as [[BoundedTopK]].
+  */
+class LowKLong(k: Int) extends Aggregator[java.lang.Long, TopKBuf[Long], Seq[Long]] {
+  private def trim(l: List[Long]): List[Long] = l.sorted.take(k)
+  override def zero: TopKBuf[Long] = TopKBuf(0, Nil)
+  override def reduce(b: TopKBuf[Long], v: java.lang.Long): TopKBuf[Long] =
+    if (v == null) b
+    else if (b.n + 1 >= 2 * k) { val t = trim(v.longValue :: b.items); TopKBuf(t.length, t) }
+    else TopKBuf(b.n + 1, v.longValue :: b.items)
+  override def merge(a: TopKBuf[Long], b: TopKBuf[Long]): TopKBuf[Long] =
+    if (a.n + b.n >= 2 * k) { val t = trim(a.items ::: b.items); TopKBuf(t.length, t) }
+    else TopKBuf(a.n + b.n, a.items ::: b.items)
+  override def finish(l: TopKBuf[Long]): Seq[Long] = trim(l.items)
+  override def bufferEncoder: Encoder[TopKBuf[Long]] = Encoders.kryo[TopKBuf[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** Config-driven aggregator registry — the moral successor of
   * `ValueAggregatorJob`'s descriptor strings ("LongValueSum:col", ...):
   * one `groupBy.agg` computes the whole descriptor list in a single pass.

@@ -91,30 +91,36 @@ object Aggregates extends QueryPack {
     * population is an unbounded single-key array (the same hazard class
     * as the minhash collect_set, fixed the same round). Now: a streaming
     * two-phase distinct (map-combined HashAggregate on (event_type,
-    * user_id)) feeds an exact count plus the bounded-heap [[TopKAgg]]
-    * keeping the 5 smallest distinct users (score = −user_id; heap order
-    * score desc = user asc, matching the sorted slice bit-for-bit —
-    * user_id is far below the 2^53 lossless double bound). Buffers are
-    * O(5), never O(distinct users).
+    * user_id)) feeds an exact count plus the bounded-heap
+    * [[graft.functions.LowKLong]] keeping the 5 smallest distinct users.
+    * Buffers are O(5), never O(distinct users).
+    *
+    * NULL handling (round 11): grouping runs over UNFILTERED events, so
+    * an event_type whose user_ids are all NULL still emits a row — the
+    * DuckDB oracle does (COUNT(DISTINCT) skips NULLs → n_distinct=0;
+    * its LIST/sort/join pipeline yields SQL NULL for first_users when no
+    * non-NULL user exists, verified stepwise in DuckDB). The previous
+    * `where(isNotNull)` form dropped such groups entirely. Per-item NULLs
+    * are skipped inside LowKLong (Long-keyed, no double round-trip — ids
+    * ≥ 2^53 order correctly), `count($"user_id")` skips the NULL distinct
+    * row, and the `when` guard maps "no non-NULL users" to NULL, matching
+    * the oracle bit-for-bit on both corners.
     */
   def uniqValueCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val low5 = udaf(new graft.functions.TopKAgg(5))
+    val low5 = udaf(new graft.functions.LowKLong(5), org.apache.spark.sql.Encoders.LONG)
     Tables.events(spark, dir)
-      // NULL user_id rows are excluded EXPLICITLY: the pre-round-10
-      // countDistinct/collect_set forms both ignored NULLs implicitly, and
-      // a NULL key would crash TopKAgg's non-nullable Scored encoder —
-      // keep the semantics identical and the failure impossible
-      .where($"user_id".isNotNull)
       .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        count(lit(1)).as("n_distinct"),
-        // joined to a scalar string: array-typed output columns crash the
-        // driver's pandas canonicalizer (unhashable ndarray)
-        array_join(
-          transform(low5(-$"user_id".cast("double"), $"user_id"),
-            s => s.getField("key").cast("string")), ",").as("first_users"))
+        count($"user_id").as("n_distinct"),
+        low5($"user_id").as("low5"))
+      // joined to a scalar string: array-typed output columns crash the
+      // driver's pandas canonicalizer (unhashable ndarray)
+      .select($"event_type", $"n_distinct",
+        when($"n_distinct" > 0,
+          array_join(transform($"low5", x => x.cast("string")), ","))
+          .as("first_users"))
       .orderBy($"event_type")
   }
 
