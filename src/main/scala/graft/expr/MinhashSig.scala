@@ -119,3 +119,97 @@ object MinhashSig {
     mins
   }
 }
+
+/** shingle_card(normalized_text) → long: the document's DISTINCT 3-token
+  * shingle count, computed in the same one-pass, no-explode, no-shuffle
+  * style as [[MinhashSig]] — tokenization and shingling are byte-for-byte
+  * the chain documented there (the two kernels MUST agree on what a
+  * shingle is, or the size-ratio prefilter below reasons about different
+  * sets than the signature banded on).
+  *
+  * Exists for the minhash candidate self-join's size-ratio prefilter
+  * (round 11, the int8-prefilter pattern applied to the Jaccard family):
+  * J(A,B) ≥ θ implies min(|A|,|B|)/max(|A|,|B|) ≥ θ — an exact bound with
+  * zero tuning — so carrying each doc's |distinct shingles| (ONE long)
+  * through the (band,bucket) shuffle lets the bucket self-join reject
+  * size-mismatched pairs in-stage, before the pair distinct and the
+  * shingle re-join verify ([[graft.functions.DedupOps]]).
+  *
+  * Distinctness is counted over the 64-bit xxhash64 of each shingle's
+  * bytes (open-addressed set, O(shingles-per-doc) — per-ROW state, not an
+  * aggregation buffer), not the strings themselves: a within-doc hash
+  * collision undercounts by one. That is the SAME no-collision assumption
+  * the minhash signature itself already rests on (colliding shingles
+  * perturb the signature and hence banding recall), so the prefilter adds
+  * no new assumption class; the prefiltered ≡ unfiltered equivalence is
+  * pinned by ExactnessSpec and the exact-Jaccard oracle either way, since
+  * the verify stage recomputes true sizes from the strings for survivors.
+  */
+case class ShingleCard(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "shingle_card"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleCard.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.ShingleCard.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleCard {
+  private final val Seed = 42L // Spark's xxhash64 default seed
+
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    // tokenization identical to MinhashSig.compute (see its contract doc)
+    var numToks = 1
+    var p = 0
+    while (p < n) {
+      if (Platform.getByte(base, off + p) == 0x20) numToks += 1
+      p += 1
+    }
+    val starts = new Array[Int](numToks + 1)
+    var j = 1
+    p = 0
+    while (p < n) {
+      if (Platform.getByte(base, off + p) == 0x20) { starts(j) = p + 1; j += 1 }
+      p += 1
+    }
+    starts(numToks) = n + 1
+    val nShingles = math.max(numToks - 2, 1)
+    // open-addressed long set, capacity = smallest power of two ≥ 2·n —
+    // load factor ≤ 0.5 keeps probe chains short; 0 is the empty slot, a
+    // genuine h == 0 is tracked by a flag
+    var cap = 4
+    while (cap < nShingles * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var seenZero = false
+    var card = 0L
+    var sh = 0
+    while (sh < nShingles) {
+      val start = starts(sh)
+      val lastTok = math.min(sh + 2, numToks - 1)
+      val end = starts(lastTok + 1) - 1
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed)
+      if (h == 0L) {
+        if (!seenZero) { seenZero = true; card += 1 }
+      } else {
+        var idx = (h ^ (h >>> 32)).toInt & mask
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; card += 1 }
+      }
+      sh += 1
+    }
+    card
+  }
+}

@@ -85,7 +85,7 @@ object DedupOps extends QueryPack {
     import spark.implicits._
     if (!SimilarityOps.exactSim(spark))
       return jaccardStats(spark, dir, minhashCandidates(spark, dir))
-        .filter($"jaccard" >= 0.5)
+        .filter($"jaccard" >= JaccardTheta)
         .select($"d1", $"d2", $"common", $"n1", $"n2", $"jaccard")
         .orderBy($"d1", $"d2")
     val sh = shingled(spark, dir)
@@ -98,7 +98,7 @@ object DedupOps extends QueryPack {
       .join(counts.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
       .join(counts.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= JaccardTheta)
       .select($"d1", $"d2", $"common", $"n1", $"n2", $"jaccard")
       .orderBy($"d1", $"d2")
   }
@@ -108,6 +108,16 @@ object DedupOps extends QueryPack {
   val BandRows = 2
   val NumBands = 8
   val NumHashes = NumBands * BandRows
+
+  /** The Jaccard threshold every minhash-candidate consumer filters at
+    * ([[ngramJaccard]], [[minhashLsh]], and [[connectedComponents]]
+    * through them). Single-sourced here because the candidate self-join's
+    * size-ratio prefilter is lossless ONLY against this bound: J ≥ θ ⟹
+    * min(n1,n2)/max(n1,n2) ≥ θ (common ≤ min, so min·(1+θ) ≥ θ·(n1+n2) ≥
+    * θ·(min+max) ⟹ min ≥ θ·max). A consumer filtering looser than θ must
+    * not reuse the prefiltered candidates.
+    */
+  val JaccardTheta = 0.5
 
   /** Runtime MinHash band shape, `graft.sim.bands.minhash` =
     * `"<bands>x<rows>"` (default the gate's 8x2) — the document-side twin
@@ -153,15 +163,23 @@ object DedupOps extends QueryPack {
     * (band,bucket) groupBy over `bands` rows per doc. Bit-identical to the
     * composed form by the kernel's compatibility contract.
     */
-  private[graft] def minhashSigsOf(docs: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSigsOf(docs: DataFrame, numHashes: Int,
+      withCard: Boolean = false): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // composed-path parity: a null text still yields ONE empty shingle
+    // there (greatest(null,1)=1 and concat_ws on a null array is ""), so
+    // feed the kernels "" — identical signature (and card 1), doc retained
+    val in = coalesce(normText, lit(""))
+    // `withCard` adds n_sh = shingle_card(text): the doc's distinct-shingle
+    // count as ONE long next to the signature, computed in the same scan
+    // projection (no explode, no shuffle) — the size-ratio prefilter's
+    // input ([[minhashCandidatesPlan]])
+    val cardCols = if (withCard)
+      Seq(call_function("shingle_card", in).as("n_sh")) else Nil
     docs
-      // composed-path parity: a null text still yields ONE empty shingle
-      // there (greatest(null,1)=1 and concat_ws on a null array is ""), so
-      // feed the kernel "" — identical signature, doc retained
-      .select(col("doc_id"),
-        call_function("minhash_sig", coalesce(normText, lit("")), lit(numHashes)).as("sig"))
-      .select(col("doc_id") +:
+      .select(col("doc_id") +: cardCols :+
+        call_function("minhash_sig", in, lit(numHashes)).as("sig"): _*)
+      .select((col("doc_id") +: cardCols.map(_ => col("n_sh"))) ++
         (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
 
@@ -170,12 +188,19 @@ object DedupOps extends QueryPack {
     * candidate path and [[BandTuner.suggestMinhash]]'s cost sample so the
     * priced bucketing is the deployed bucketing.
     */
-  private[functions] def bandBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private[functions] def bandBuckets(sigs: DataFrame, bands: Int, rows: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("bh"))
     }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    // `carry` columns (the prefilter's n_sh) are already materialized
+    // columns of `sigs`, so they land in the Generate's
+    // requiredChildOutput — listing a fresh expression here instead would
+    // re-evaluate it once per band row (the int8-blob lesson,
+    // SimilarityOps.lshCandidateIds)
+    sigs.select((col("doc_id") +: carry.map(col)) :+
+      explode(array(bandCols: _*)).as("bb"): _*)
   }
 
   /** MinHash+LSH near-dup: band-bucket candidates, exact-verify, emit pairs
@@ -200,7 +225,7 @@ object DedupOps extends QueryPack {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     jaccardStats(spark, dir, minhashCandidates(spark, dir))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= JaccardTheta)
       .select($"d1", $"d2", $"jaccard")
       .orderBy($"d1", $"d2")
   }
@@ -226,7 +251,6 @@ object DedupOps extends QueryPack {
   private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (bands, rows) = minhashShape(spark)
-    val sigs = minhashSigsOf(Tables.documents(spark, dir), bands * rows)
     // bucket SELF-JOIN, not collect_set-then-explode² (round 10): the old
     // form materialized every bucket's doc list in ONE aggregation buffer
     // and then expanded |bucket|² pairs from a single row — at corpus scale
@@ -236,12 +260,29 @@ object DedupOps extends QueryPack {
     // spills gracefully, and AQE's skew handling can split a hot bucket;
     // it is also the shape the embedding-side candidate route has always
     // used. shuffle_hash for the usual corpus-sized-sides reason.
-    val b = bandBuckets(sigs, bands, rows)
-    b.select($"bb", $"doc_id".as("d1")).hint("shuffle_hash")
-      .join(b.select($"bb", $"doc_id".as("d2")).hint("shuffle_hash"), Seq("bb"))
+    // size-ratio prefilter (round 11, the int8_keep pattern applied to the
+    // Jaccard family): each doc's distinct-shingle count n_sh (ONE long,
+    // `shingle_card` computed in the scan next to the signature) rides the
+    // (band,bucket) shuffle, and pairs failing the lossless bound
+    // min(n1,n2) ≥ JaccardTheta·max(n1,n2) are rejected INSIDE the bucket
+    // self-join — before the pair distinct and the shingle re-join verify,
+    // which now see only plausibly-above-θ survivors. Same A/B knob as the
+    // embedding-side prefilter; answers are identical either way
+    // (ExactnessSpec's prefiltered ≡ unfiltered test).
+    val pf = SimilarityOps.prefilterOn(spark)
+    val sigs = minhashSigsOf(Tables.documents(spark, dir), bands * rows,
+      withCard = pf)
+    val b = bandBuckets(sigs, bands, rows,
+      carry = if (pf) Seq("n_sh") else Nil)
+    def side(d: String, ns: String): DataFrame =
+      b.select($"bb" +: $"doc_id".as(d) +:
+        (if (pf) Seq($"n_sh".as(ns)) else Nil): _*).hint("shuffle_hash")
+    val joined = side("d1", "ns1").join(side("d2", "ns2"), Seq("bb"))
       .filter($"d1" < $"d2")
-      .select($"d1", $"d2")
-      .distinct()
+    val kept = if (pf)
+      joined.filter(least($"ns1", $"ns2") >= lit(JaccardTheta) * greatest($"ns1", $"ns2"))
+    else joined
+    kept.select($"d1", $"d2").distinct()
   }
 
   /** Exact Jaccard stats (common, n1, n2, jaccard) computed for the given

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, Int8Enc, Int8Est, Int8Keep, LshBuckets, LshProbes, MinhashSig, SimhashSig}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, Int8Enc, Int8Est, Int8Keep, LshBuckets, LshProbes, MinhashSig, ShingleCard, SimhashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,12 @@ object GraftFunctions {
             s"minhash_sig: numHashes must be an integer literal, got $other")
         }
         MinhashSig(args.head, n)
+      }),
+    (FunctionIdentifier("shingle_card"),
+      new ExpressionInfo(classOf[ShingleCard].getName, "shingle_card"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingle_card takes (normalized_text)")
+        ShingleCard(args.head)
       }),
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),

@@ -545,9 +545,21 @@ object Harness {
       println(f"ABPREFILTER $label%-18s candidates=$all kept=$kept " +
         f"killed=${1.0 - kept.toDouble / math.max(all, 1)}%.4f")
     }
+    // minhash-family candidate mass (round 11: the size-ratio bound rides
+    // the same knob) — prefilter off vs on through minhashCandidatesPlan
+    locally {
+      spark.conf.set("graft.sim.prefilter", "false")
+      val all = DedupOps.minhashCandidatesPlan(spark, dir).count()
+      spark.conf.set("graft.sim.prefilter", "true")
+      val kept = DedupOps.minhashCandidatesPlan(spark, dir).count()
+      println(f"ABPREFILTER minhash@0.5 size-ratio candidates=$all kept=$kept " +
+        f"killed=${1.0 - kept.toDouble / math.max(all, 1)}%.4f")
+    }
     val queries = Seq[(String, () => DataFrame)](
       "sim_pairs_threshold" -> (() => SimilarityOps.pairsAboveThreshold(spark, dir)),
-      "dedup_embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)))
+      "dedup_embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)),
+      "dedup_ngram_jaccard" -> (() => DedupOps.ngramJaccard(spark, dir)),
+      "dedup_minhash_lsh" -> (() => DedupOps.minhashLsh(spark, dir)))
     for ((label, f) <- queries; pre <- Seq(false, true)) {
       spark.conf.set("graft.sim.prefilter", pre.toString)
       noop(f()) // warm

@@ -164,6 +164,28 @@ class ExactnessSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sim.bands.minhash")
   }
 
+  test("dedup_ngram_jaccard: size-ratio prefiltered candidates ≡ unfiltered") {
+    // the shingle_card size-ratio bound (min(n1,n2) ≥ θ·max(n1,n2)) is
+    // lossless at the family's θ=0.5, so switching the prefilter off must
+    // not change the banded answer — the minhash twin of the int8
+    // prefilter's never-changes-answers contract
+    val pre = withCandidatePath(rowsOf(DedupOps.ngramJaccard(spark, sfDir)))
+    spark.conf.set("graft.sim.prefilter", "false")
+    try {
+      val unfiltered = withCandidatePath(rowsOf(DedupOps.ngramJaccard(spark, sfDir)))
+      assert(pre.nonEmpty && pre == unfiltered,
+        s"missing=${unfiltered.toSet -- pre.toSet} spurious=${pre.toSet -- unfiltered.toSet}")
+    } finally spark.conf.unset("graft.sim.prefilter")
+    // and the prefilter must genuinely cut candidates on this corpus —
+    // otherwise the in-stage rejection is dead weight riding the shuffle
+    val nPre = DedupOps.minhashCandidatesPlan(spark, sfDir).count()
+    spark.conf.set("graft.sim.prefilter", "false")
+    try {
+      val nAll = DedupOps.minhashCandidatesPlan(spark, sfDir).count()
+      assert(nPre < nAll, s"prefilter rejected nothing: $nPre vs $nAll")
+    } finally spark.conf.unset("graft.sim.prefilter")
+  }
+
   test("dedup_connected_components inherits the scale path through ngramJaccard") {
     val exact = rowsOf(DedupOps.connectedComponents(spark, sfDir))
     val banded = withCandidatePath(rowsOf(DedupOps.connectedComponents(spark, sfDir)))

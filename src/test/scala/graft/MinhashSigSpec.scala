@@ -78,6 +78,34 @@ class MinhashSigSpec extends SparkSpec {
     }
   }
 
+  private def assertEqualCards(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val composedCard = DedupOps.shingledOf(docs).distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .orderBy($"doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val kernelCard = DedupOps.minhashSigsOf(docs, NumHashes, withCard = true)
+      .select($"doc_id", $"n_sh")
+      .orderBy($"doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(composedCard.toSeq == kernelCard.toSeq)
+  }
+
+  test("shingle_card equals the composed distinct-shingle count (fixture + adversarial)") {
+    assertEqualCards(graft.core.Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+    assertEqualCards(Seq(
+      (1L, ""),
+      (2L, "one"),
+      (3L, "one two"),
+      (4L, "one two three"),
+      (5L, "one two three four"),
+      (6L, "  leading and   multiple   spaces  "),
+      (7L, "ünïcödé tökens über ällés"),
+      // heavy duplication: 500 identical shingles collapse to 3 distinct
+      // (the rolling window only sees 3 distinct 3-grams of "repeat me
+      // often" repeated), exercising the set dedup, and a null doc
+      (8L, Seq.fill(500)("repeat me often").mkString(" ")),
+      (9L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+  }
+
   test("compute matches Spark's xxhash64 chain on a hand-built shingle") {
     // one 3-token doc = one shingle = the whole normalized string; pin the
     // hash chain itself (seed 42, string hash, hashLong then hashInt fold)
