@@ -200,6 +200,7 @@ object Corpora {
   *  - `object-agg [groups...]` — ObjectHashAggregate fallback boundary
   *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
+  *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
   *  - `crossover [n...]` — exact↔banded crossover on clustered corpus
   *  - `probe [n] [shape,...] [bits...]` — multi-probe recall/cost frontier
@@ -225,6 +226,7 @@ object Harness {
     ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
+    ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
     ("probe", "[n] [shape,...] [bits...] — multi-probe frontier (same-label)", probe),
@@ -568,6 +570,87 @@ object Harness {
       }
       println(f"ABPREFILTER $label%-22s prefilter=$pre%-5s " +
         f"min=${times.min}%.2fs med=${times.sorted.apply(2)}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Round 11 (r10 verdict #2): MEASURE the hot-bucket skew claim the
+    * round-10 minhash self-join rationale asserted ("AQE's skew handling
+    * can split a hot bucket"). Generates a corpus where `hotFrac` of the
+    * docs are IDENTICAL near-empty documents — one shared signature, so
+    * every band contributes one degenerate (band,bucket) key holding
+    * hotFrac·n rows — then runs the candidate plan with
+    * `spark.sql.adaptive.skewJoin.enabled` off vs on and reports wall
+    * time, the task-duration distribution of the run, the candidate count
+    * (must be identical — the split is physical, not semantic), and
+    * whether the final adaptive plan actually carries skew-split
+    * AQEShuffleRead nodes.
+    *
+    * Threshold honesty: AQE detects skew by MAP-OUTPUT PARTITION BYTES
+    * (factor × median AND an absolute floor), not by join-output rows —
+    * and the quadratic pair blowup is an OUTPUT property. The two meet
+    * because a bucket degenerate enough to matter holds many DOCS (input
+    * rows ∝ docs in the bucket, output pairs ∝ docs²): by the time the
+    * quadratic side is lethal, the input side is far past any sane
+    * threshold. The local corpus is ~10^4× smaller than production, so the
+    * demo scales the byte thresholds down proportionally (the 256 MB
+    * default exists for clusters); the MECHANISM — detection, split,
+    * replicate-other-side, identical result — is what's being measured.
+    */
+  private def skewMinhash(args: Array[String]): Unit = {
+    val spark = Session.local(32, "skew-minhash")
+    import spark.implicits._
+    val n = args.lift(0).map(_.toInt).getOrElse(20000)
+    val hotFrac = args.lift(1).map(_.toDouble).getOrElse(0.2)
+    val nHot = (n * hotFrac).toInt
+    // hot docs: identical 2-token text = one shared 1-shingle signature;
+    // background: 60 random tokens over a 50k vocab — essentially unique
+    // buckets. Locals only in the closure (serialization).
+    val docs = spark.range(n).map { i =>
+      if (i < nHot) (i, "w0 w1")
+      else {
+        val r = new scala.util.Random(31L * i + 7)
+        (i, Array.fill(60)("w" + r.nextInt(50000)).mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val dir = s"/tmp/graft_skew/n${n}_hot${math.round(hotFrac * 100)}"
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // scaled-down skew thresholds (see scaladoc): the hot partition here
+    // is tens of KB, not hundreds of MB
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    // cluster-true partition count: detection compares the hot key against
+    // the MEDIAN partition, and a production job runs thousands of shuffle
+    // partitions — at local[32]'s default 32 the background mass is so
+    // thick per partition that a 20% hot bucket is only ~1.8× median
+    // (measured; detection needs factor×median). 200 thins the background
+    // ~6×, the local stand-in for the real ratio.
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) durations.add(t.taskMetrics.executorRunTime)
+    })
+    for (skewOn <- Seq(false, true)) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val df = DedupOps.minhashCandidatesPlan(spark, dir)
+      df.queryExecution.toRdd.count() // warm (codegen, shuffle files)
+      durations.clear()
+      val df2 = DedupOps.minhashCandidatesPlan(spark, dir)
+      val t0 = System.nanoTime()
+      val cnt = df2.queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df2.queryExecution.executedPlan.toString
+      val skewReads = plan.linesIterator.count(l => l.contains("AQEShuffleRead") && l.contains("skew"))
+      val ds = durations.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      val med = if (ds.nonEmpty) ds(ds.length / 2) else 0L
+      val mx = if (ds.nonEmpty) ds.last else 0L
+      println(f"SKEWMINHASH n=$n hot=$nHot skewJoin=$skewOn%-5s wall=$secs%6.2fs " +
+        f"candidates=$cnt taskRunTime(med/max)=${med}ms/${mx}ms skewSplitReads=$skewReads")
+      plan.linesIterator
+        .filter(l => l.contains("ShuffledHashJoin") || (l.contains("AQEShuffleRead") && l.contains("skew")))
+        .foreach(l => println("SKEWMINHASH   plan: " + l.trim))
     }
     spark.stop()
   }
