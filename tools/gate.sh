@@ -32,9 +32,10 @@ echo "== gate: Verify sf$SF"
 # OOM) must leave nothing behind for the summary check and oracle compare
 # to read, or a stale green run would pass the gate silently.
 rm -rf "$OUT"
-# GRAFT_VERIFY_STRICT makes Verify itself exit nonzero on any query
-# failure (driver-invoked runs stay exit-0 and are scored per-parquet)
-GRAFT_VERIFY_STRICT=1 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
+# Verify exits nonzero on any query failure (unconditional since round
+# 11; the env var is gone). The summary-file re-check below is still the
+# gate's real guard because the grep pipeline swallows exit status.
+sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
   | grep -E '\[verify' || true
 # The grep pipeline swallows sbt's exit status; re-check the summary file
 # so a swallowed exit can't sneak through (and a missing file fails here)
