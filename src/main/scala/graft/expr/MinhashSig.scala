@@ -77,7 +77,21 @@ object MinhashSig {
   /** One-pass signature over a normalized text's bytes. See the class doc
     * for the exact composed-pipeline chain this reproduces.
     */
-  def compute(s: UTF8String, numHashes: Int): Array[Long] = {
+  def compute(s: UTF8String, numHashes: Int): Array[Long] =
+    core(s, numHashes, withCard = false)
+
+  /** Fused signature + distinct-shingle count: slots 0..numHashes-1 are
+    * the signature (bit-identical to [[compute]]), slot numHashes is
+    * [[ShingleCard.compute]]'s count. ONE tokenization and ONE string
+    * hash per shingle — the card's set probes reuse the shingle hash the
+    * signature chain computes anyway, so the deployed prefiltered scan
+    * pays a set insert per shingle instead of a second full hash pass
+    * (r11 review finding).
+    */
+  def computeWithCard(s: UTF8String, numHashes: Int): Array[Long] =
+    core(s, numHashes, withCard = true)
+
+  private def core(s: UTF8String, numHashes: Int, withCard: Boolean): Array[Long] = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes
@@ -99,14 +113,35 @@ object MinhashSig {
     }
     starts(numToks) = n + 1
     val nShingles = math.max(numToks - 2, 1)
-    val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, Long.MaxValue)
+    val mins = new Array[Long](if (withCard) numHashes + 1 else numHashes)
+    java.util.Arrays.fill(mins, 0, numHashes, Long.MaxValue)
+    // distinct-shingle set (card only): same open-addressed scheme as
+    // ShingleCard.compute, fed by the h already computed for the chain
+    var table: Array[Long] = null
+    var mask = 0
+    var seenZero = false
+    var card = 0L
+    if (withCard) {
+      var cap = 4
+      while (cap < nShingles * 2) cap <<= 1
+      table = new Array[Long](cap)
+      mask = cap - 1
+    }
     var sh = 0
     while (sh < nShingles) {
       val start = starts(sh)
       val lastTok = math.min(sh + 2, numToks - 1)
       val end = starts(lastTok + 1) - 1
       val h = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed)
+      if (withCard) {
+        if (h == 0L) {
+          if (!seenZero) { seenZero = true; card += 1 }
+        } else {
+          var idx = (h ^ (h >>> 32)).toInt & mask
+          while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+          if (table(idx) == 0L) { table(idx) = h; card += 1 }
+        }
+      }
       val seeded = XXH64.hashLong(h, Seed)
       var i = 0
       while (i < numHashes) {
@@ -116,8 +151,42 @@ object MinhashSig {
       }
       sh += 1
     }
+    if (withCard) mins(numHashes) = card
     mins
   }
+}
+
+/** minhash_sig_card(normalized_text, numHashes) → array<long> of
+  * numHashes+1: the [[MinhashSig]] signature with the doc's distinct
+  * 3-token shingle count appended — the DEPLOYED form on the prefiltered
+  * candidate path ([[graft.functions.DedupOps.minhashSigsOf]] with
+  * `withCard`), fusing what would otherwise be two kernels re-tokenizing
+  * and re-hashing the same bytes. Spec-checked against the two standalone
+  * kernels it fuses (MinhashSigSpec).
+  */
+case class MinhashSigCard(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0 && numHashes <= 1024, s"minhash_sig_card: bad numHashes $numHashes")
+
+  override def prettyName: String = "minhash_sig_card"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinhashSig.computeWithCard(input.asInstanceOf[UTF8String], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.expr.MinhashSig.computeWithCard($x, $numHashes));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** shingle_card(normalized_text) → long: the document's DISTINCT 3-token
@@ -133,7 +202,11 @@ object MinhashSig {
   * zero tuning — so carrying each doc's |distinct shingles| (ONE long)
   * through the (band,bucket) shuffle lets the bucket self-join reject
   * size-mismatched pairs in-stage, before the pair distinct and the
-  * shingle re-join verify ([[graft.functions.DedupOps]]).
+  * shingle re-join verify ([[graft.functions.DedupOps]]). This standalone
+  * kernel is the SEMANTIC DEFINITION the specs pin; the deployed scan
+  * uses the fused [[MinhashSigCard]], which computes the same count from
+  * the shingle hashes the signature chain already produces (one string
+  * hash per shingle instead of two).
   *
   * Distinctness is counted over the 64-bit xxhash64 of each shingle's
   * bytes (open-addressed set, O(shingles-per-doc) — per-ROW state, not an

@@ -153,22 +153,18 @@ class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
   * [[TopKAgg]] a `-id` cast to double, which silently reorders huge ids),
   * and NULL-tolerant: a null input is skipped, matching the oracle's
   * COUNT/LIST DISTINCT semantics where NULL keys never surface as items.
-  * Same amortized O(log k) insert discipline as [[BoundedTopK]].
+  * Extends [[BoundedTopK]] so the amortized O(log k) buffer discipline
+  * stays single-sourced (boxed elements — the cap-sized buffer makes the
+  * boxing irrelevant next to keeping the four heap aggregators in step).
   */
-class LowKLong(k: Int) extends Aggregator[java.lang.Long, TopKBuf[Long], Seq[Long]] {
-  private def trim(l: List[Long]): List[Long] = l.sorted.take(k)
-  override def zero: TopKBuf[Long] = TopKBuf(0, Nil)
-  override def reduce(b: TopKBuf[Long], v: java.lang.Long): TopKBuf[Long] =
-    if (v == null) b
-    else if (b.n + 1 >= 2 * k) { val t = trim(v.longValue :: b.items); TopKBuf(t.length, t) }
-    else TopKBuf(b.n + 1, v.longValue :: b.items)
-  override def merge(a: TopKBuf[Long], b: TopKBuf[Long]): TopKBuf[Long] =
-    if (a.n + b.n >= 2 * k) { val t = trim(a.items ::: b.items); TopKBuf(t.length, t) }
-    else TopKBuf(a.n + b.n, a.items ::: b.items)
-  override def finish(l: TopKBuf[Long]): Seq[Long] = trim(l.items)
-  override def bufferEncoder: Encoder[TopKBuf[Long]] = Encoders.kryo[TopKBuf[Long]]
-  override def outputEncoder: Encoder[Seq[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+class LowKLong(k: Int) extends BoundedTopK[java.lang.Long](k,
+    Ordering.by((x: java.lang.Long) => x.longValue)) {
+  override def reduce(b: TopKBuf[java.lang.Long], v: java.lang.Long): TopKBuf[java.lang.Long] =
+    if (v == null) b else super.reduce(b, v)
+  override def bufferEncoder: Encoder[TopKBuf[java.lang.Long]] =
+    Encoders.kryo[TopKBuf[java.lang.Long]]
+  override def outputEncoder: Encoder[Seq[java.lang.Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Long]]()
 }
 
 /** Config-driven aggregator registry — the moral successor of

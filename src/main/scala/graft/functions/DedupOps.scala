@@ -170,16 +170,18 @@ object DedupOps extends QueryPack {
     // there (greatest(null,1)=1 and concat_ws on a null array is ""), so
     // feed the kernels "" — identical signature (and card 1), doc retained
     val in = coalesce(normText, lit(""))
-    // `withCard` adds n_sh = shingle_card(text): the doc's distinct-shingle
-    // count as ONE long next to the signature, computed in the same scan
-    // projection (no explode, no shuffle) — the size-ratio prefilter's
-    // input ([[minhashCandidatesPlan]])
+    // `withCard` switches to the FUSED `minhash_sig_card` kernel: the
+    // doc's distinct-shingle count (the size-ratio prefilter's input,
+    // [[minhashCandidatesPlan]]) rides as slot numHashes of the signature
+    // array — one tokenization and one string hash per shingle, instead
+    // of a second full `shingle_card` pass over the same bytes
+    val sigFn = if (withCard) "minhash_sig_card" else "minhash_sig"
     val cardCols = if (withCard)
-      Seq(call_function("shingle_card", in).as("n_sh")) else Nil
+      Seq(col("sig").getItem(numHashes).as("n_sh")) else Nil
     docs
-      .select(col("doc_id") +: cardCols :+
-        call_function("minhash_sig", in, lit(numHashes)).as("sig"): _*)
-      .select((col("doc_id") +: cardCols.map(_ => col("n_sh"))) ++
+      .select(col("doc_id"),
+        call_function(sigFn, in, lit(numHashes)).as("sig"))
+      .select((col("doc_id") +: cardCols) ++
         (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
   }
 

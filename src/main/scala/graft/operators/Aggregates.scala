@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.DecimalType
   *    one `groupBy.agg` computing the whole descriptor list in a single
   *    pass (`multi_agg`), plus the registry in [[graft.functions.AggRegistry]].
   *  - `UniqValueCount` (exact distinct + capped retained list) →
-  *    two-phase streaming distinct + bounded-heap [[graft.functions.TopKAgg]]
-  *    retained list (buffers O(cap), never O(distinct) — round 10).
+  *    two-phase streaming distinct + bounded-heap [[graft.functions.LowKLong]]
+  *    retained list (buffers O(cap), never O(distinct) — round 10;
+  *    Long-keyed + all-NULL-group emission — round 11).
   *  - `ValueHistogram` → custom Aggregator in [[graft.functions.ValueHistogram]];
   *    the query here is the composed two-level form the oracle can check.
   *  - cube/rollup/pivot: absent in the reference (hand-written MR);

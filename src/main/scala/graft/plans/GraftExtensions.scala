@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, Int8Enc, Int8Est, Int8Keep, LshBuckets, LshProbes, MinhashSig, ShingleCard, SimhashSig}
+import graft.expr.{ArgMaxLong, BestCell, CosineSimilarity, DotProduct, Int8Enc, Int8Est, Int8Keep, LshBuckets, LshProbes, MinhashSig, MinhashSigCard, ShingleCard, SimhashSig}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,17 @@ object GraftFunctions {
             s"minhash_sig: numHashes must be an integer literal, got $other")
         }
         MinhashSig(args.head, n)
+      }),
+    (FunctionIdentifier("minhash_sig_card"),
+      new ExpressionInfo(classOf[MinhashSigCard].getName, "minhash_sig_card"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig_card takes (normalized_text, numHashes)")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig_card: numHashes must be an integer literal, got $other")
+        }
+        MinhashSigCard(args.head, n)
       }),
     (FunctionIdentifier("shingle_card"),
       new ExpressionInfo(classOf[ShingleCard].getName, "shingle_card"),

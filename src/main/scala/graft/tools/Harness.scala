@@ -632,15 +632,22 @@ object Harness {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) durations.add(t.taskMetrics.executorRunTime)
     })
+    // listener events are delivered on the async bus; let it drain before
+    // clearing (warm-run stragglers) and before reading (the measured
+    // run's own straggler IS the evidence) — without the settle, the
+    // med/max figures can silently miss the hot-bucket task
+    def settle(): Unit = Thread.sleep(2000)
     for (skewOn <- Seq(false, true)) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
       val df = DedupOps.minhashCandidatesPlan(spark, dir)
       df.queryExecution.toRdd.count() // warm (codegen, shuffle files)
+      settle()
       durations.clear()
       val df2 = DedupOps.minhashCandidatesPlan(spark, dir)
       val t0 = System.nanoTime()
       val cnt = df2.queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
+      settle()
       val plan = df2.queryExecution.executedPlan.toString
       val skewReads = plan.linesIterator.count(l => l.contains("AQEShuffleRead") && l.contains("skew"))
       val ds = durations.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
@@ -1032,8 +1039,14 @@ object Harness {
           .join(bandedDf.select($"d1", $"d2"), Seq("d1", "d2"), "left_semi").count())
           .getOrElse(-1L)
         // advisor validation: measured candidate fraction at this shape vs
-        // the sample-predicted one (for the advised shape)
-        val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
+        // the sample-predicted one (for the advised shape). The advisor
+        // prices RAW bucket mass, so count with the size-ratio prefilter
+        // off — prefiltered counts would read as spurious prediction error
+        // on a size-heterogeneous corpus (r11 review finding)
+        spark.conf.set("graft.sim.prefilter", "false")
+        val nCand =
+          try DedupOps.minhashCandidatesPlan(spark, dir).count()
+          finally spark.conf.unset("graft.sim.prefilter")
         val allPairs = n.toDouble * (n - 1) / 2
         println(f"DOCSX n=$n shape=$shape%-5s exact=$tExact%8.2fs banded=$tBanded%8.2fs " +
           f"speedup=${tExact / tBanded}%5.2fx recall=${found.toDouble / nExact}%.4f " +

@@ -106,6 +106,29 @@ class MinhashSigSpec extends SparkSpec {
     ).toDF("doc_id", "text"))
   }
 
+  test("minhash_sig_card fuses minhash_sig + shingle_card bit-for-bit") {
+    // the deployed prefiltered scan uses the fused kernel; pin it against
+    // the two standalone kernels it fuses, on raw (unnormalized) strings —
+    // kernel-vs-kernel equality holds for ANY input, normalized or not
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two three four"),
+      (4L, "  odd   spacing  "), (5L, "ünïcödé tökens über"),
+      (6L, Seq.fill(300)("repeat me often").mkString(" ")),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = docs.selectExpr("doc_id",
+      s"minhash_sig_card(coalesce(text,''), $NumHashes) AS fused",
+      s"minhash_sig(coalesce(text,''), $NumHashes) AS sig",
+      "shingle_card(coalesce(text,'')) AS card").collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[Long](1)
+      assert(fused.length == NumHashes + 1, s"doc ${r.getLong(0)}")
+      assert(fused.take(NumHashes) == r.getSeq[Long](2), s"doc ${r.getLong(0)} sig slots")
+      assert(fused(NumHashes) == r.getLong(3), s"doc ${r.getLong(0)} card slot")
+    }
+  }
+
   test("compute matches Spark's xxhash64 chain on a hand-built shingle") {
     // one 3-token doc = one shingle = the whole normalized string; pin the
     // hash chain itself (seed 42, string hash, hashLong then hashInt fold)
