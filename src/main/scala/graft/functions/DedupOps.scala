@@ -304,13 +304,23 @@ object DedupOps extends QueryPack {
       // ContextCleaner-managed lifetime as minhashCandidates above
       .localCheckpoint(true)
     val sizes = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = broadcast(candidates)
+    // NO broadcast hint on the candidate PAIR set or the sizes joins
+    // (round 11): the pair set is candidate-proportional, and a forced
+    // broadcast of it is the same pathology class as the r10 blob
+    // broadcast — measured fatal on a boilerplate corpus at the 16x1
+    // recall-total shape (37 M surviving pairs →
+    // notEnoughMemoryToBuildAndBroadcastTableError on the driver). AQE
+    // converts these joins to broadcast at runtime whenever the sides are
+    // genuinely small (the gate corpus), and shuffles them when they
+    // aren't — the id-width candDocs semi-join above keeps its hint
+    // because it IS the slice contract (ids only, never pair-shaped).
+    val common = candidates
       .join(shCand.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
       .join(shCand.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
-      .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
   }
 

@@ -176,6 +176,43 @@ object Corpora {
     dir
   }
 
+  /** Boilerplate-prefix corpus — the realistic size-HETEROGENEOUS shape
+    * for the size-ratio prefilter: every doc opens with the same 12-token
+    * boilerplate (web headers, license banners), tails vary ~25–500
+    * random tokens. Banding admits candidate pairs whose signatures are
+    * dominated by the shared prefix — including pairs of very different
+    * lengths, exactly the mass min/max ≥ θ rejects; a small mutated-copy
+    * fraction keeps genuine survivors present. Contrast with the gate
+    * corpus (planted near-dups of uniform length) where the bound can
+    * only kill ~24%.
+    */
+  def generateBoilerplateDocs(spark: SparkSession, n: Int, seed: Int = 17): String = {
+    import spark.implicits._
+    val docs = spark.range(n).map { i =>
+      val boiler = (0 until 12).map(j => s"b$j").mkString(" ")
+      // every 10th doc is a mutated copy of a doc 1–9 back (same tail),
+      // else a fresh tail whose length spans 25..500 — log-uniform so
+      // short and long docs both appear in volume. The dup choice is
+      // DETERMINISTIC arithmetic, not a per-id Random draw: consecutive
+      // seeds give java.util.Random a badly non-uniform FIRST draw
+      // (measured 0/990 firings at p=0.1), a silent way to generate a
+      // corpus with no dups at all
+      val base: Long = if (i >= 10 && i % 10 == 9) i - 1 - (i % 9) else i
+      val rb = new scala.util.Random(seed * 7919L + base)
+      val len = 25 + math.exp(rb.nextDouble() * math.log(476.0)).toInt
+      val tail = Array.fill(len)("w" + rb.nextInt(20000))
+      if (base != i) {
+        val rm = new scala.util.Random(seed * 31L + i)
+        tail.indices.foreach(j =>
+          if (rm.nextDouble() < 0.03) tail(j) = "w" + rm.nextInt(20000))
+      }
+      (i, boiler + " " + tail.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = s"/tmp/graft_boiler/n$n"
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** The measurement ritual: warm once (codegen + shuffle-file setup out
     * of the measurement), then min of `passes` timed noop-writes. */
   def timed(passes: Int)(f: => Unit): Double = {
@@ -520,8 +557,17 @@ object Harness {
     */
   private def abPrefilter(args: Array[String]): Unit = {
     val spark = Session.local(32, "ab-prefilter")
-    val dir = args.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // `boiler:<n>` generates the size-heterogeneous boilerplate corpus
+    // (docs only) instead of pointing at an SF dir — the minhash
+    // prefilter's realistic stress shape
+    val dir = args.headOption match {
+      case Some(s) if s.startsWith("boiler:") =>
+        Corpora.generateBoilerplateDocs(spark, s.stripPrefix("boiler:").toInt)
+      case Some(s) => s
+      case None => sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    }
+    val hasEmbeddings =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
     spark.conf.set("graft.sim.exact", "false")
     // optional shape override (args 2/3: pairs shape, cosdedup shape) — the
     // gate defaults are right for the gate tables; a crossover corpus wants
@@ -537,10 +583,16 @@ object Harness {
     val (cT, cP) = shapeOf(2, 8, 4)
     spark.conf.set("graft.sim.bands.pairs", s"${pT}x$pP")
     spark.conf.set("graft.sim.bands.cosdedup", s"${cT}x$cP")
+    // optional arg 4: minhash band shape (e.g. 16x1 — the recall-total
+    // 1-row shape where banding admits low-jaccard size-mismatched pairs
+    // and the size-ratio bound has real mass to kill; at the gate's 8x2,
+    // collision probability ~ j^2 already suppresses them)
+    args.lift(3).foreach(s => spark.conf.set("graft.sim.bands.minhash", s))
     // candidate-mass evidence first (cheap counts, not timed)
     for ((label, t, p, theta) <- Seq(
         (s"pairs@0.4 ${pT}x$pP", pT, pP, SimilarityOps.PairsThreshold),
-        (s"cosdedup@0.9 ${cT}x$cP", cT, cP, DedupOps.CosDedupThreshold))) {
+        (s"cosdedup@0.9 ${cT}x$cP", cT, cP, DedupOps.CosDedupThreshold))
+        if hasEmbeddings) {
       val all = SimilarityOps.lshCandidateIds(spark, dir, t, p).count()
       val kept = SimilarityOps.lshCandidateIds(spark, dir, t, p,
         prefilterTheta = Some(theta)).count()
@@ -557,9 +609,10 @@ object Harness {
       println(f"ABPREFILTER minhash@0.5 size-ratio candidates=$all kept=$kept " +
         f"killed=${1.0 - kept.toDouble / math.max(all, 1)}%.4f")
     }
-    val queries = Seq[(String, () => DataFrame)](
+    val queries = (if (hasEmbeddings) Seq[(String, () => DataFrame)](
       "sim_pairs_threshold" -> (() => SimilarityOps.pairsAboveThreshold(spark, dir)),
-      "dedup_embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)),
+      "dedup_embedding_cosine" -> (() => DedupOps.embeddingCosineDedup(spark, dir)))
+    else Nil) ++ Seq[(String, () => DataFrame)](
       "dedup_ngram_jaccard" -> (() => DedupOps.ngramJaccard(spark, dir)),
       "dedup_minhash_lsh" -> (() => DedupOps.minhashLsh(spark, dir)))
     for ((label, f) <- queries; pre <- Seq(false, true)) {
