@@ -186,6 +186,24 @@ class ExactnessSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sim.prefilter")
   }
 
+  test("banded verify carries no forced broadcast above the checkpoint boundary") {
+    // regression guard for the round-11 pathology: jaccardStats used to
+    // force-broadcast the candidate PAIR set, which killed the driver at
+    // 37M pairs on a boilerplate corpus (SCALE.md round 11). The pair and
+    // sizes joins must stay hint-free (AQE decides at runtime). The one
+    // legitimate hint — the id-width candDocs semi-join — sits BELOW the
+    // shCand localCheckpoint and never surfaces in this plan, so any
+    // broadcast ResolvedHint visible here is a pair-proportional
+    // re-introduction by construction.
+    val df = withCandidatePath(DedupOps.ngramJaccard(spark, sfDir))
+    val bc = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")) => h
+    }
+    assert(bc.isEmpty,
+      s"forced broadcast above the checkpoint boundary: ${bc.map(_.child.output.map(_.name))}")
+  }
+
   test("dedup_connected_components inherits the scale path through ngramJaccard") {
     val exact = rowsOf(DedupOps.connectedComponents(spark, sfDir))
     val banded = withCandidatePath(rowsOf(DedupOps.connectedComponents(spark, sfDir)))
