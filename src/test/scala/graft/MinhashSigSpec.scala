@@ -129,6 +129,52 @@ class MinhashSigSpec extends SparkSpec {
     }
   }
 
+  test("size-ratio bound is lossless over random docs (property)") {
+    // directly pins the deployed rejection condition — J(A,B) ≥ θ must
+    // imply least(n1,n2) ≥ θ·greatest(n1,n2) with n from the kernel — on
+    // random docs of wildly varying length/vocabulary, plus card ≡ exact
+    // distinct-string count (covers the hash-distinct caveat empirically)
+    val rnd = new scala.util.Random(1234)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 60).foreach { i =>
+      if (i % 5 == 4 && texts.nonEmpty) {
+        // planted near-dup: mutate a few tokens of the previous doc so
+        // qualifying (J ≥ θ) pairs exist, some near the θ boundary
+        val toks = texts.last.split(" ", -1)
+        val rm = new scala.util.Random(i)
+        texts += toks.map(t =>
+          if (rm.nextDouble() < 0.08) "m" + rm.nextInt(50) else t).mkString(" ")
+      } else {
+        val len = 1 + rnd.nextInt(120)
+        val pool = 3 + rnd.nextInt(30)
+        texts += Array.fill(len)("t" + rnd.nextInt(pool)).mkString(" ")
+      }
+    }
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      val n = math.max(toks.length - 2, 1)
+      (0 until n).map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")).toSet
+    }
+    val theta = DedupOps.JaccardTheta
+    val cards = texts.map(t => graft.expr.ShingleCard.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    texts.indices.foreach { i =>
+      assert(cards(i) == shingleSet(texts(i)).size.toLong, s"card mismatch doc $i")
+    }
+    var qualifying = 0
+    for (i <- texts.indices; j <- texts.indices if i < j) {
+      val (s1, s2) = (shingleSet(texts(i)), shingleSet(texts(j)))
+      val jac = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      if (jac >= theta) {
+        qualifying += 1
+        val (n1, n2) = (cards(i), cards(j))
+        assert(math.min(n1, n2) >= theta * math.max(n1, n2),
+          s"bound rejected a qualifying pair: docs $i,$j jac=$jac n1=$n1 n2=$n2")
+      }
+    }
+    assert(qualifying > 0, "property vacuous — no qualifying pairs generated")
+  }
+
   test("compute matches Spark's xxhash64 chain on a hand-built shingle") {
     // one 3-token doc = one shingle = the whole normalized string; pin the
     // hash chain itself (seed 42, string hash, hashLong then hashInt fold)
