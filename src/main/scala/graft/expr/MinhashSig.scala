@@ -122,6 +122,11 @@ object MinhashSig {
     var seenZero = false
     var card = 0L
     if (withCard) {
+      // fail loudly, never hang: past 2^29 shingles (a single multi-GB
+      // document) cap <<= 1 would overflow to 0 and the probe loop on a
+      // full table would spin forever
+      require(nShingles <= (1 << 29),
+        s"shingle card: document has $nShingles shingles (limit ${1 << 29})")
       var cap = 4
       while (cap < nShingles * 2) cap <<= 1
       table = new Array[Long](cap)
@@ -261,7 +266,10 @@ object ShingleCard {
     val nShingles = math.max(numToks - 2, 1)
     // open-addressed long set, capacity = smallest power of two ≥ 2·n —
     // load factor ≤ 0.5 keeps probe chains short; 0 is the empty slot, a
-    // genuine h == 0 is tracked by a flag
+    // genuine h == 0 is tracked by a flag. The limit guard mirrors
+    // MinhashSig.core: past 2^29 shingles cap <<= 1 would overflow
+    require(nShingles <= (1 << 29),
+      s"shingle_card: document has $nShingles shingles (limit ${1 << 29})")
     var cap = 4
     while (cap < nShingles * 2) cap <<= 1
     val table = new Array[Long](cap)
