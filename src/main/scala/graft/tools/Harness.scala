@@ -237,6 +237,7 @@ object Corpora {
   *  - `object-agg [groups...]` — ObjectHashAggregate fallback boundary
   *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
+  *  - `verify-shuffle [n] [shape]` — string vs hash shingle keys in the jaccard verify
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
   *  - `crossover [n...]` — exact↔banded crossover on clustered corpus
@@ -263,6 +264,7 @@ object Harness {
     ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
+    ("verify-shuffle", "[n] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
@@ -623,6 +625,65 @@ object Harness {
       }
       println(f"ABPREFILTER $label%-22s prefilter=$pre%-5s " +
         f"min=${times.min}%.2fs med=${times.sorted.apply(2)}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Round 12 (r11 verdict #2): MEASURE the verify stage's shingle-string
+    * shuffle, then the hash-keyed cut. The survivor verify in
+    * `jaccardStats` re-derives candidate shingle sets and shuffles them
+    * three times (slice distinct, sizes groupBy, common join) — with
+    * string keys those rows carry ~15–30 B payloads; `graft.dedup
+    * .hashverify` swaps in the 8-byte xxhash64 the kernels already compute
+    * per shingle. A/Bs the knob on the size-heterogeneous boilerplate
+    * corpus over the banded path, reporting per-mode wall time and the
+    * timed pass's total shuffle read/write bytes from task metrics (the
+    * honest source — a wall-only A/B can't attribute the win to bytes).
+    * The shared candidate-generation stage is timed separately so the
+    * verify-only share is explicit.
+    */
+  private def verifyShuffle(args: Array[String]): Unit = {
+    val spark = Session.local(32, "verify-shuffle")
+    val n = args.lift(0).map(_.toInt).getOrElse(20000)
+    val dir = Corpora.generateBoilerplateDocs(spark, n)
+    spark.conf.set("graft.sim.exact", "false")
+    spark.conf.set("graft.sim.prefilter", "true")
+    args.lift(1).foreach(s => spark.conf.set("graft.sim.bands.minhash", s))
+    val shape = spark.conf.get("graft.sim.bands.minhash", "8x2(default)")
+    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    // listener events drain async; settle (skew-minhash's pattern — the
+    // bus has no public waitUntilEmpty) before zeroing / reading counters
+    def settle(): Unit = Thread.sleep(2000)
+    def measured(f: => Unit): (Double, Long, Long) = {
+      f // warm: codegen + shuffle-file setup out of the measurement
+      val times = (1 to 3).map { i =>
+        if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      settle()
+      (times.min, shufRead.get, shufWrite.get)
+    }
+    def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+    val (tCand, rCand, wCand) = measured(
+      noop(DedupOps.minhashCandidatesPlan(spark, dir)))
+    println(f"VERIFYSHUF n=$n shape=$shape candidates-only " +
+      f"min=$tCand%.2fs shuffle read=${mb(rCand)} write=${mb(wCand)}")
+    for (hv <- Seq(false, true)) {
+      spark.conf.set("graft.dedup.hashverify", hv.toString)
+      val (t, r, w) = measured(noop(DedupOps.ngramJaccard(spark, dir)))
+      val mode = if (hv) "hash-keys" else "string-keys"
+      println(f"VERIFYSHUF n=$n shape=$shape full[$mode%-11s] " +
+        f"min=$t%.2fs verify-share=${t - tCand}%.2fs " +
+        f"shuffle read=${mb(r)} write=${mb(w)}")
     }
     spark.stop()
   }

@@ -176,14 +176,48 @@ class ExactnessSpec extends SparkSpec {
       assert(pre.nonEmpty && pre == unfiltered,
         s"missing=${unfiltered.toSet -- pre.toSet} spurious=${pre.toSet -- unfiltered.toSet}")
     } finally spark.conf.unset("graft.sim.prefilter")
-    // and the prefilter must genuinely cut candidates on this corpus —
-    // otherwise the in-stage rejection is dead weight riding the shuffle
-    val nPre = DedupOps.minhashCandidatesPlan(spark, sfDir).count()
-    spark.conf.set("graft.sim.prefilter", "false")
+  }
+
+  test("size-ratio prefilter genuinely cuts candidates on a size-heterogeneous corpus") {
+    // dead-weight guard: if the in-stage rejection never fires, it's cost
+    // riding the shuffle for nothing. Measured on the DETERMINISTIC
+    // boilerplate corpus (shared banner + log-uniform tails, the shape the
+    // bound exists for) at the recall-total 16x1 shape where banding
+    // admits size-mismatched pairs in volume — NOT on the sf fixture,
+    // whose planted dups are uniform-length and could legitimately stop
+    // producing size-mismatched banding collisions under regeneration
+    // (r11 advice: suite green must not depend on fixture composition)
+    val dir = graft.tools.Corpora.generateBoilerplateDocs(spark, 1000)
+    spark.conf.set("graft.sim.bands.minhash", "16x1")
     try {
-      val nAll = DedupOps.minhashCandidatesPlan(spark, sfDir).count()
+      val nPre = DedupOps.minhashCandidatesPlan(spark, dir).count()
+      spark.conf.set("graft.sim.prefilter", "false")
+      val nAll = DedupOps.minhashCandidatesPlan(spark, dir).count()
       assert(nPre < nAll, s"prefilter rejected nothing: $nPre vs $nAll")
-    } finally spark.conf.unset("graft.sim.prefilter")
+    } finally {
+      spark.conf.unset("graft.sim.prefilter")
+      spark.conf.unset("graft.sim.bands.minhash")
+    }
+  }
+
+  test("hash-keyed verify ≡ string-keyed verify (both candidate paths)") {
+    // graft.dedup.hashverify swaps the verify stage's shuffle payload from
+    // shingle strings to their 8-byte xxhash64; answers must be identical
+    // on any collision-free corpus — here both the exact route (minhashLsh
+    // always verifies via jaccardStats) and the banded ngramJaccard route
+    for (banded <- Seq(false, true)) {
+      def both(f: => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+        val hashed = rowsOf(f)
+        spark.conf.set("graft.dedup.hashverify", "false")
+        try { (hashed, rowsOf(f)) }
+        finally spark.conf.unset("graft.dedup.hashverify")
+      }
+      val (h, s) =
+        if (banded) withCandidatePath(both(DedupOps.ngramJaccard(spark, sfDir)))
+        else both(DedupOps.minhashLsh(spark, sfDir))
+      assert(h.nonEmpty && h == s,
+        s"banded=$banded missing=${s.toSet -- h.toSet} spurious=${h.toSet -- s.toSet}")
+    }
   }
 
   test("banded verify carries no forced broadcast above the checkpoint boundary") {
