@@ -28,18 +28,24 @@ object TextOps extends QueryPack {
     * fingerprint/shingle op shares (same as DedupOps). */
   private def normTextC: Column = DedupOps.normText
 
-  /** Distinct-able 3-token shingles of the normalized text (array form). */
-  private def normShingles: Column = {
-    val toks = tokens(normTextC)
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-  }
-
   /** Non-empty lowercase tokens. */
   private def cleanToks: Column = filter(tokens(lower(col("text"))), t => t =!= "")
 
-  /** Word bigrams of a token array (only full-width ones). */
+  /** Word bigrams of a token array (only full-width ones).
+    *
+    * QUADRATIC-EVAL HAZARD (round 12, found by the decontam stress corpus):
+    * `toks` is referenced INSIDE the index-transform lambda, and
+    * higher-order functions evaluate interpreted with no common-
+    * subexpression elimination — every lambda application re-evaluates the
+    * whole `toks` expression tree. Pass a BOUND column (bind the array
+    * with `.select(...as("toks"))` first) and each slice is an O(1) array
+    * read; pass a composite like `cleanToks` (split+filter over the raw
+    * text) and an n-token document costs O(n²) token work — measured 13
+    * MINUTES for five 50k-token docs where the bound form takes
+    * milliseconds. Same rule for every `slice(toks, i, …)` lambda in this
+    * file and for [[graft.functions.DedupOps.shingledOf]] (already bound).
+    * HofBindingSpec pins all callers.
+    */
   private def bigramsOf(toks: Column): Column = filter(
     transform(
       sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
@@ -68,9 +74,10 @@ object TextOps extends QueryPack {
     (nTokens >= 10) && (stopRatio >= 0.01) && (meanLen <= 12.0)
   }
 
-  /** The [[repetitionStats]] keep verdict as a single boolean column. */
-  private def repetitionKeepC: Column = {
-    val toks = cleanToks
+  /** The [[repetitionStats]] keep verdict as a single boolean column.
+    * `toks` MUST be a bound token-array column, not a composite expression
+    * (bigramsOf's quadratic-eval hazard). */
+  private def repetitionKeepC(toks: Column): Column = {
     val big = bigramsOf(toks)
     val topFrac = round(topRunOf(toks).cast("double") / size(toks), 6)
     val dupBigramFrac = round(lit(1.0) - size(array_distinct(big)).cast("double") /
@@ -175,13 +182,16 @@ object TextOps extends QueryPack {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
-    val toks = tokens(norm)
+    // bind norm + toks before the shingle lambda (quadratic-eval hazard —
+    // see bigramsOf); the md5-per-shingle transform's lambda reads only
+    // its own element, so it was always linear
     val shingles = transform(
-      sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+      sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
+      i => concat_ws(" ", slice($"toks", i, lit(3))))
     Tables.documents(spark, dir)
+      .select($"doc_id", norm.as("norm"), tokens(norm).as("toks"))
       .select($"doc_id",
-        md5(norm).as("doc_md5"),
+        md5($"norm").as("doc_md5"),
         array_min(transform(shingles, s => md5(s))).as("shingle_min_md5"))
       .orderBy($"doc_id")
   }
@@ -194,13 +204,12 @@ object TextOps extends QueryPack {
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(tokens(lower($"text")), t => t =!= "")
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    // bind the token array before the bigram lambda (quadratic-eval
+    // hazard — see bigramsOf, whose width filter replaces the old
+    // post-explode split-width check)
     val counts = Tables.documents(spark, dir)
-      .select($"lang", explode(bigrams).as("bigram"))
-      .filter(size(split($"bigram", " ")) === 2)
+      .select($"lang", filter(tokens(lower($"text")), t => t =!= "").as("toks"))
+      .select($"lang", explode(bigramsOf($"toks")).as("bigram"))
       .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
     // bounded heap per lang: at corpus scale the per-language vocabulary is
     // unbounded — a window rank would shuffle and sort the whole vocabulary
@@ -445,23 +454,59 @@ object TextOps extends QueryPack {
     * — its distinct n-grams broadcast, and the corpus-side RAW shingle
     * stream meets them in a narrow broadcast hash join, so only the MATCHED
     * slice is ever distinct'd/shuffled; the corpus itself is one scan with
-    * no wide exchange. If the eval-gram set ever outgrows the broadcast
-    * budget, route it through a bloom filter first (fmt_bloom_membership
-    * pattern) and exact-verify the hits — same plan, probabilistic prefilter.
+    * no wide exchange. When the eval-gram set outgrows the broadcast budget
+    * the join degrades to a SHUFFLE of the full corpus shingle stream — the
+    * dominant cost at 100 TB, and almost all of it misses. The
+    * `graft.text.decontam.bloom` path (round 12, r11 verdict #3) is built
+    * for that regime: a bloom filter over the eval grams — ~10 bits per
+    * gram at 1% fpp vs ~25 B per broadcast string, so it fits executors
+    * long after the string set doesn't — sits in the corpus-side SCAN
+    * stage and kills misses before any exchange; the surviving ~matches+1%
+    * then meet the eval grams in a hint-free exact join (AQE picks the
+    * strategy), so false positives cannot reach the output. Correctness is
+    * knob-independent (ExactnessSpec), the bloom-below-join plan shape is
+    * PlanSpec-pinned, and the outgrown-broadcast A/B is Harness
+    * `decontam-bloom` (SCALE.md round 12).
     */
   /** Per-corpus-doc count of distinct 3-gram overlaps with the eval set —
     * the shared core of [[decontaminate]] and [[corpusSelect]]. */
   private def evalOverlaps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val evalGrams = docs.filter($"doc_id" < 5)
-      .select(explode(normShingles).as("shingle")).distinct()
-    docs.filter($"doc_id" >= 5)
-      .select($"doc_id", explode(normShingles).as("shingle"))
-      .join(broadcast(evalGrams), Seq("shingle"))
+    // shingledOf binds the token array before the shingle lambda — the
+    // linear form (see bigramsOf's quadratic-eval hazard note; this site
+    // cost O(tokens²) per doc until round 12, invisible at gate doc sizes,
+    // 13 min for five 50k-token eval docs on the decontam stress corpus)
+    val evalGrams = DedupOps.shingledOf(docs.filter($"doc_id" < 5))
+      .select($"shingle").distinct()
+    val corpus = DedupOps.shingledOf(docs.filter($"doc_id" >= 5))
+    val matched =
+      if (!decontamBloom(spark)) corpus.join(broadcast(evalGrams), Seq("shingle"))
+      else {
+        // checkpoint: the gram set feeds the count, the bloom build, and
+        // the exact join — one computation, ContextCleaner-managed blocks
+        val g = evalGrams.localCheckpoint(true)
+        val bf = g.stat.bloomFilter("shingle", math.max(g.count(), 1L), 0.01)
+        val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+        // the filter is the outgrow path's whole point: it rides the scan
+        // stage, so the ~99% of corpus shingles that miss the eval set die
+        // before the (now possibly shuffled) exact join ever sees them
+        corpus.filter(mightContain($"shingle")).join(g, Seq("shingle"))
+      }
+    matched
       .distinct() // matched slice only — the full shingle stream never shuffles
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** `graft.text.decontam.bloom` (default off): route [[evalOverlaps]]
+    * through a bloom prefilter instead of broadcasting the eval-gram
+    * strings — the outgrow path for eval sets past the broadcast budget.
+    * Off is right whenever the grams DO broadcast (the gate, and most real
+    * benchmark suites): the broadcast hash join already kills misses
+    * in-stage, and the bloom would only add a probe per shingle.
+    */
+  private[graft] def decontamBloom(spark: SparkSession): Boolean =
+    spark.conf.get("graft.text.decontam.bloom", "false").toBoolean
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -485,11 +530,14 @@ object TextOps extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"content_sha")
     Tables.documents(spark, dir).filter($"doc_id" >= 5)
+      // bind the token array BEFORE the repetition verdict's index-
+      // transform lambdas (bigramsOf's quadratic-eval hazard)
+      .withColumn("toks", cleanToks)
       // empty docs carry no quality/repetition verdicts (0/0 fractions) and
       // the oracle's inner join to the repetition CTE drops them — mirror it
-      .filter(size(cleanToks) >= 1)
+      .filter(size($"toks") >= 1)
       .withColumn("pass_quality", qualityKeepC)
-      .withColumn("pass_repetition", repetitionKeepC)
+      .withColumn("pass_repetition", repetitionKeepC($"toks"))
       .withColumn("content_sha", DedupOps.contentSha)
       .withColumn("pass_dedup", $"doc_id" === min($"doc_id").over(w))
       .join(evalOverlaps(spark, dir), Seq("doc_id"), "left")
@@ -514,19 +562,21 @@ object TextOps extends QueryPack {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = cleanToks
-    val bigrams = bigramsOf(toks)
+    // bind the token array before bigramsOf's index-transform lambda
+    // (quadratic-eval hazard — see bigramsOf)
+    val bigrams = bigramsOf($"toks")
     Tables.documents(spark, dir)
+      .withColumn("toks", cleanToks)
       // zero-token docs have no repetition fractions (0/0) and no rows in
       // the oracle's token-stream CTEs — drop them on BOTH sides
-      .filter(size(toks) >= 1)
+      .filter(size($"toks") >= 1)
       .select($"doc_id",
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_words"),
         size(bigrams).cast("long").as("n_bigrams"),
         size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
         // max run length over the sorted tokens == max per-word count
-        topRunOf(toks).as("top_word_n"))
+        topRunOf($"toks").as("top_word_n"))
       .withColumn("dup_word_frac",
         round(lit(1.0) - $"n_distinct_words".cast("double") / $"n_tokens", 6))
       .withColumn("top_word_frac",

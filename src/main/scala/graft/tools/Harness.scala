@@ -3,7 +3,7 @@ package graft.tools
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.core.{Session, Tables}
-import graft.functions.{BandTuner, DedupOps, SimilarityOps}
+import graft.functions.{BandTuner, DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -213,6 +213,42 @@ object Corpora {
     dir
   }
 
+  /** Decontamination stress corpus: 5 LARGE eval documents (`evalTokens`
+    * tokens each — the regime where the eval-gram set strains the
+    * broadcast budget) plus n 200-token corpus docs from a DISJOINT
+    * vocabulary, every 20th corpus doc contaminated with a 30-token eval
+    * window. Eval token j of doc d is a deterministic integer mix of
+    * (d, j) — O(1) random access, so splicing a window into a corpus doc
+    * never regenerates an eval prefix (and no per-id RNG first-draw
+    * pathology, the boilerplate generator's lesson). Disjoint vocabularies
+    * make the miss rate ~100% off the planted windows — the honest shape
+    * for measuring a miss-killing prefilter.
+    */
+  def generateDecontamDocs(spark: SparkSession, n: Int, evalTokens: Int,
+      seed: Int = 29): String = {
+    import spark.implicits._
+    val vocabE = math.max(2, evalTokens / 2)
+    def evTok(d: Long, j: Int): String =
+      "e" + math.floorMod((d * 1000003L + j) * 2654435761L >>> 13, vocabE.toLong)
+    val docs = spark.range(n + 5L).map { i =>
+      val text =
+        if (i < 5) (0 until evalTokens).map(j => evTok(i, j)).mkString(" ")
+        else {
+          val r = new scala.util.Random(seed * 7919L + i)
+          val toks = Array.fill(200)("w" + r.nextInt(50000))
+          if (i % 20 == 5) {
+            val ev = i % 5
+            val off = math.floorMod(i * 37L, (evalTokens - 30).toLong).toInt
+            (toks.take(170) ++ (off until off + 30).map(j => evTok(ev, j))).mkString(" ")
+          } else toks.mkString(" ")
+        }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = s"/tmp/graft_decontam/n${n}_e$evalTokens"
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** The measurement ritual: warm once (codegen + shuffle-file setup out
     * of the measurement), then min of `passes` timed noop-writes. */
   def timed(passes: Int)(f: => Unit): Double = {
@@ -238,6 +274,7 @@ object Corpora {
   *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n] [shape]` — string vs hash shingle keys in the jaccard verify
+  *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
   *  - `crossover [n...]` — exact↔banded crossover on clustered corpus
@@ -265,6 +302,7 @@ object Harness {
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
+    ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
@@ -685,6 +723,90 @@ object Harness {
         f"min=$t%.2fs verify-share=${t - tCand}%.2fs " +
         f"shuffle read=${mb(r)} write=${mb(w)}")
     }
+    spark.stop()
+  }
+
+  /** Round 12 (r11 verdict #3): A/B the decontamination bloom prefilter in
+    * the regime it exists for. Three configs on the decontam stress corpus
+    * (large eval docs, ~100% corpus-side miss rate off the planted
+    * windows):
+    *  1. broadcast join, no bloom — the gate default; misses die in the
+    *     in-stage broadcast probe, nothing to fix;
+    *  2. FORCED shuffle join (autoBroadcastJoinThreshold=-1, emulating an
+    *     eval-gram set past the broadcast budget), no bloom — the
+    *     pathology: the full corpus shingle stream crosses the exchange;
+    *  3. forced shuffle + bloom — the outgrow path: the scan-stage bloom
+    *     kills misses first, so only ~matches+fpp reach the exchange.
+    * Wall + the timed pass's shuffle bytes from task metrics, so the claim
+    * "the bloom cuts the shuffle, not just the clock" is measured.
+    */
+  private def decontamBloom(args: Array[String]): Unit = {
+    val spark = Session.local(32, "decontam-bloom")
+    val n = args.lift(0).map(_.toInt).getOrElse(50000)
+    val evalTokens = args.lift(1).map(_.toInt).getOrElse(200000)
+    val dir = Corpora.generateDecontamDocs(spark, n, evalTokens)
+    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def settle(): Unit = Thread.sleep(2000)
+    def measured(f: => Unit): (Double, Long, Long) = {
+      f // warm
+      val times = (1 to 3).map { i =>
+        if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      settle()
+      (times.min, shufRead.get, shufWrite.get)
+    }
+    def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+    val contaminated = TextOps.decontaminate(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("contaminated")).count()
+    println(s"DECONTAM n=$n evalTokens=$evalTokens plantedContaminated=$contaminated")
+    // the naive outgrown design the bloom path replaces: decontaminate's
+    // exact shape MINUS the broadcast hint and minus the bloom — the raw
+    // corpus shingle stream crosses the exchange into a shuffle join.
+    // (Config 1's explicit broadcast() hint can't degrade to this shape:
+    // past the broadcast budget it kills the driver outright, the r11
+    // pair-set-broadcast pathology — which is WHY the outgrow path is a
+    // separate knob and not "let AQE decide".)
+    def naiveShuffleDecontam(): DataFrame = {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val evalGrams = DedupOps.shingledOf(docs.filter($"doc_id" < 5))
+        .select($"shingle").distinct()
+      val overlaps = DedupOps.shingledOf(docs.filter($"doc_id" >= 5))
+        .join(evalGrams, Seq("shingle")).distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      docs.filter($"doc_id" >= 5).select($"doc_id")
+        .join(overlaps, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+        .withColumn("contaminated", $"n_overlap" >= 3)
+        .orderBy($"doc_id")
+    }
+    for ((label, noBroadcast, bloom) <- Seq(
+        ("broadcast hint, no bloom (gate default)  ", false, false),
+        ("hint-free shuffle join, no bloom (naive) ", true, false),
+        ("hint-free shuffle join + bloom (outgrown)", true, true))) {
+      val thr = if (noBroadcast) "-1" else "10485760"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("graft.text.decontam.bloom", bloom.toString)
+      val q: () => DataFrame =
+        if (noBroadcast && !bloom) () => naiveShuffleDecontam()
+        else () => TextOps.decontaminate(spark, dir)
+      val (t, r, w) = measured(noop(q()))
+      println(f"DECONTAM $label min=$t%.2fs shuffle read=${mb(r)} write=${mb(w)}")
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset("graft.text.decontam.bloom")
     spark.stop()
   }
 

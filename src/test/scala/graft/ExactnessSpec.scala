@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupOps, SimilarityOps}
+import graft.functions.{DedupOps, SimilarityOps, TextOps}
 
 /** The `graft.sim.exact` knob: exact all-pairs baselines vs the banded-LSH
   * candidate path must produce IDENTICAL rows on the test data (band shapes
@@ -218,6 +218,20 @@ class ExactnessSpec extends SparkSpec {
       assert(h.nonEmpty && h == s,
         s"banded=$banded missing=${s.toSet -- h.toSet} spurious=${h.toSet -- s.toSet}")
     }
+  }
+
+  test("text_decontaminate: bloom-prefiltered path ≡ broadcast path (corpus_select too)") {
+    // the bloom is a may-contain prefilter ahead of an exact join, so
+    // false positives are re-verified and false negatives don't exist —
+    // flipping the outgrow knob must never change a verdict, in the
+    // standalone query or composed through corpus_select
+    val d0 = rowsOf(TextOps.decontaminate(spark, sfDir))
+    val c0 = rowsOf(TextOps.corpusSelect(spark, sfDir))
+    spark.conf.set("graft.text.decontam.bloom", "true")
+    try {
+      assert(d0.nonEmpty && rowsOf(TextOps.decontaminate(spark, sfDir)) == d0)
+      assert(c0.nonEmpty && rowsOf(TextOps.corpusSelect(spark, sfDir)) == c0)
+    } finally spark.conf.unset("graft.text.decontam.bloom")
   }
 
   test("banded verify carries no forced broadcast above the checkpoint boundary") {

@@ -221,4 +221,24 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("arg_max_long"), plan)
     }
   }
+
+  test("decontaminate bloom path: the might-contain predicate sits below the exact join") {
+    // the outgrow path's whole value is WHERE the bloom probe runs — in
+    // the corpus-side scan stage, so misses die before the (possibly
+    // shuffled) exact join's exchange. A refactor that hoists it above
+    // the join (or drops the exact join after it) fails here.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    spark.conf.set("graft.text.decontam.bloom", "true")
+    try {
+      val df = graft.functions.TextOps.decontaminate(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan
+      def bloomBelow(p: LogicalPlan): Boolean = p.collectFirst {
+        case f: Filter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+      }.nonEmpty
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.exists(j => j.children.exists(bloomBelow)),
+        s"no might-contain filter below a join:\n$plan")
+    } finally spark.conf.unset("graft.text.decontam.bloom")
+  }
 }
