@@ -74,6 +74,27 @@ case class MinhashSig(child: Expression, numHashes: Int)
 object MinhashSig {
   private final val Seed = 42L // Spark's xxhash64 default seed
 
+  /** Shingle count above which the fused kernel stops counting distinct
+    * shingles and emits [[CardUnknown]] instead (round 12, r11 advice):
+    * the card's open-addressed set is PER-ROW transient memory — 2·shingles
+    * longs — so a single multi-GB document would allocate gigabytes (and
+    * past 2^29 the capacity doubling overflows, the round-11 loud-fail).
+    * 2^22 shingles ≈ a 30 MB document caps the table at 64 MB — generous
+    * for any real corpus document (a long book is ~200k tokens) while
+    * bounding the worst row. Above it the doc keeps its exact SIGNATURE
+    * (banding is unaffected) and merely loses the size-ratio prefilter,
+    * which the consumer must honor by passing sentinel rows through
+    * ([[graft.functions.DedupOps.minhashCandidatesPlan]]) — the verify
+    * stage re-derives true sizes for survivors, so answers are identical.
+    */
+  final val CardCapShingles: Int = 1 << 22
+
+  /** Sentinel in the card slot: "cardinality not computed — never reject
+    * this row on the size-ratio bound". 0 is unreachable as a genuine
+    * count (every document yields ≥ 1 shingle, including the empty
+    * string), so the sentinel cannot collide with real data. */
+  final val CardUnknown: Long = 0L
+
   /** One-pass signature over a normalized text's bytes. See the class doc
     * for the exact composed-pipeline chain this reproduces.
     */
@@ -82,11 +103,12 @@ object MinhashSig {
 
   /** Fused signature + distinct-shingle count: slots 0..numHashes-1 are
     * the signature (bit-identical to [[compute]]), slot numHashes is
-    * [[ShingleCard.compute]]'s count. ONE tokenization and ONE string
-    * hash per shingle — the card's set probes reuse the shingle hash the
-    * signature chain computes anyway, so the deployed prefiltered scan
-    * pays a set insert per shingle instead of a second full hash pass
-    * (r11 review finding).
+    * [[ShingleCard.compute]]'s count — or [[CardUnknown]] past
+    * [[CardCapShingles]] shingles (the per-row degrade, see that
+    * constant's doc). ONE tokenization and ONE string hash per shingle —
+    * the card's set probes reuse the shingle hash the signature chain
+    * computes anyway, so the deployed prefiltered scan pays a set insert
+    * per shingle instead of a second full hash pass (r11 review finding).
     */
   def computeWithCard(s: UTF8String, numHashes: Int): Array[Long] =
     core(s, numHashes, withCard = true)
@@ -117,16 +139,16 @@ object MinhashSig {
     java.util.Arrays.fill(mins, 0, numHashes, Long.MaxValue)
     // distinct-shingle set (card only): same open-addressed scheme as
     // ShingleCard.compute, fed by the h already computed for the chain
+    // past CardCapShingles the card degrades to the CardUnknown sentinel
+    // (prefilter optional PER ROW, r11 advice) instead of allocating a
+    // giant per-row table or — past 2^29, where cap <<= 1 overflows —
+    // failing the whole query; the signature stays exact either way
+    val trackCard = withCard && nShingles <= CardCapShingles
     var table: Array[Long] = null
     var mask = 0
     var seenZero = false
     var card = 0L
-    if (withCard) {
-      // fail loudly, never hang: past 2^29 shingles (a single multi-GB
-      // document) cap <<= 1 would overflow to 0 and the probe loop on a
-      // full table would spin forever
-      require(nShingles <= (1 << 29),
-        s"shingle card: document has $nShingles shingles (limit ${1 << 29})")
+    if (trackCard) {
       var cap = 4
       while (cap < nShingles * 2) cap <<= 1
       table = new Array[Long](cap)
@@ -138,7 +160,7 @@ object MinhashSig {
       val lastTok = math.min(sh + 2, numToks - 1)
       val end = starts(lastTok + 1) - 1
       val h = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed)
-      if (withCard) {
+      if (trackCard) {
         if (h == 0L) {
           if (!seenZero) { seenZero = true; card += 1 }
         } else {
@@ -156,7 +178,7 @@ object MinhashSig {
       }
       sh += 1
     }
-    if (withCard) mins(numHashes) = card
+    if (withCard) mins(numHashes) = if (trackCard) card else CardUnknown
     mins
   }
 }
@@ -266,8 +288,12 @@ object ShingleCard {
     val nShingles = math.max(numToks - 2, 1)
     // open-addressed long set, capacity = smallest power of two ≥ 2·n —
     // load factor ≤ 0.5 keeps probe chains short; 0 is the empty slot, a
-    // genuine h == 0 is tracked by a flag. The limit guard mirrors
-    // MinhashSig.core: past 2^29 shingles cap <<= 1 would overflow
+    // genuine h == 0 is tracked by a flag. This SEMANTIC-DEFINITION kernel
+    // keeps the loud 2^29 overflow guard and always returns the true
+    // count; the DEPLOYED fused kernel instead degrades to the
+    // MinhashSig.CardUnknown sentinel past MinhashSig.CardCapShingles
+    // (see that constant's doc) — callers wanting the prefilter semantics
+    // must use the fused form
     require(nShingles <= (1 << 29),
       s"shingle_card: document has $nShingles shingles (limit ${1 << 29})")
     var cap = 4

@@ -33,7 +33,22 @@ final case class BandShapeAdvice(
     candidateFraction: Double,
     predictedSpeedup: Double,
     recommendBanded: Boolean,
-    probeBits: Int = 0) {
+    probeBits: Int = 0,
+    /** MinHash advice only (round 12): coefficient of variation of the
+      * per-doc distinct-shingle count on the sample — the corpus
+      * size-heterogeneity the size-ratio prefilter feeds on. ~0 on a
+      * uniform-length corpus; >1 on boilerplate/log-uniform corpora. */
+    cardCv: Double = 0.0,
+    /** MinHash advice only: estimated fraction of the priced bucket mass
+      * SURVIVING the size-ratio prefilter (min(n₁,n₂) ≥ θ·max(n₁,n₂)) —
+      * an upper bound (geometric size-class adjacency), so the implied
+      * kill 1−keep is a floor. Near 1 where banding already suppresses
+      * size-mismatched pairs (multi-row shapes, uniform corpora); visibly
+      * below 1 exactly where a recall-total 1-row shape on a
+      * size-heterogeneous corpus admits candidate explosion — the r11
+      * boilerplate finding (16×1: 42 M raw vs 8×2: 1.5 M at 20k docs)
+      * folded into the advice. */
+    prefilterKeepFraction: Double = 1.0) {
   /** The `graft.sim.bands.<key>` value this advice corresponds to. */
   def shape: String = s"${nTables}x$planesPerTable"
 }
@@ -249,6 +264,19 @@ object BandTuner {
     *
     * In the returned advice, `nTables` is bands and `planesPerTable` is
     * rows per band (`shape` prints `"<bands>x<rows>"`, the knob format).
+    *
+    * Round 12 adds the SIZE-RATIO dimension the r11 boilerplate
+    * measurement exposed: raw bucket mass alone can't distinguish a
+    * recall-total 1-row shape on a size-heterogeneous corpus (42 M
+    * candidates at 20k docs, most killable by min ≥ θ·max) from the same
+    * mass of genuine near-dups. The advice now carries `cardCv` (the
+    * sample's shingle-count coefficient of variation) and
+    * `prefilterKeepFraction` (an upper bound on the mass surviving the
+    * size-ratio bound, priced on the same sample banding) — a caller
+    * seeing a low keep fraction knows the candidate estimate is dominated
+    * by size-mismatched collisions the default-on prefilter will reject
+    * in-stage, and a keep near 1 on a heterogeneous corpus (high cardCv)
+    * means the SHAPE, not the prefilter, is doing the suppression.
     */
   def suggestMinhash(
       spark: SparkSession,
@@ -283,16 +311,48 @@ object BandTuner {
         case other => sys.error(s"corpus count metric came back as $other")
       }
       val exactPairs = s.toDouble * (s - 1) / 2
-      val mass =
-        if (s < 2) 0.0
-        else DedupOps.bandBuckets(
-            // the kernel path IS the deployed path (minhashCandidatesPlan),
-            // so the priced bucketing stays the deployed bucketing
-            DedupOps.minhashSigsOf(sample, bands * rows),
-            bands, rows)
-          .groupBy($"bb").count()
-          .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
-          .head.getLong(0) / 2.0
+      // one signature pass serves the mass estimate, the size-ratio
+      // dimension (round 12, r11 verdict #4), and the heterogeneity
+      // metric: the fused kernel carries n_sh next to the signature,
+      // exactly as the deployed candidate path does
+      val (mass, keepMass, cv) =
+        if (s < 2) (0.0, 0.0, 0.0)
+        else {
+          // the kernel path IS the deployed path (minhashCandidatesPlan),
+          // so the priced bucketing stays the deployed bucketing; one
+          // checkpointed signature pass feeds banding AND the cv agg
+          val sigs = DedupOps.minhashSigsOf(sample, bands * rows, withCard = true)
+            .localCheckpoint(true)
+          val bb = DedupOps.bandBuckets(sigs, bands, rows, carry = Seq("n_sh"))
+          val total = bb.groupBy($"bb").count()
+            .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
+            .head.getLong(0) / 2.0
+          // size-ratio survivors, UPPER-bounded by geometric size classes:
+          // quantize n_sh at factor-(1/θ) boundaries — a pair ≥2 classes
+          // apart has max/min > 1/θ and can never pass min ≥ θ·max, so
+          // same-class pairs + adjacent-class cross products bound the
+          // surviving mass from above (overestimating survivors = the
+          // advisor's usual pessimistic-cost posture, applied to the kill)
+          val theta = DedupOps.JaccardTheta
+          val byCls = bb.select($"bb",
+              floor(log(greatest($"n_sh", lit(1L)).cast("double")) /
+                math.log(1.0 / theta)).as("cls"))
+            .groupBy($"bb", $"cls").agg(count(lit(1)).as("c"))
+            .localCheckpoint(true)
+          val same = byCls
+            .agg(coalesce(sum($"c" * ($"c" - 1)), lit(0L)))
+            .head.getLong(0) / 2.0
+          val adjacent = byCls.select($"bb", $"cls", $"c".as("c1"))
+            .join(byCls.select($"bb", ($"cls" - 1).as("cls"), $"c".as("c2")),
+              Seq("bb", "cls"))
+            .agg(coalesce(sum($"c1" * $"c2"), lit(0L)))
+            .head.getLong(0).toDouble
+          val statsRow = sigs
+            .agg(coalesce(stddev_samp($"n_sh"), lit(0.0)), avg($"n_sh")).head
+          val (sd, mean) = (statsRow.getDouble(0), statsRow.getDouble(1))
+          (total, math.min(total, same + adjacent),
+            if (mean > 0) sd / mean else 0.0)
+        }
       val frac =
         if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
       val speedup =
@@ -306,7 +366,9 @@ object BandTuner {
         sampledVectors = s,
         candidateFraction = frac,
         predictedSpeedup = speedup,
-        recommendBanded = speedup >= minSpeedup && recall >= recallFloor)
+        recommendBanded = speedup >= minSpeedup && recall >= recallFloor,
+        cardCv = cv,
+        prefilterKeepFraction = if (mass <= 0.0) 1.0 else keepMass / mass)
     } finally {
       sample.unpersist()
       ()

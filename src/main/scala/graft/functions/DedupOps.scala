@@ -281,8 +281,15 @@ object DedupOps extends QueryPack {
         (if (pf) Seq($"n_sh".as(ns)) else Nil): _*).hint("shuffle_hash")
     val joined = side("d1", "ns1").join(side("d2", "ns2"), Seq("bb"))
       .filter($"d1" < $"d2")
+    // sentinel pass-through (round 12, r11 advice): a doc past the fused
+    // kernel's CardCapShingles carries CardUnknown (0) instead of a count
+    // — such rows must never be rejected (the prefilter is optional per
+    // row; the verify stage recomputes true sizes for survivors). 0 can't
+    // collide with a real count (every doc has ≥ 1 shingle).
+    val unknown = lit(graft.expr.MinhashSig.CardUnknown)
     val kept = if (pf)
-      joined.filter(least($"ns1", $"ns2") >= lit(JaccardTheta) * greatest($"ns1", $"ns2"))
+      joined.filter($"ns1" === unknown || $"ns2" === unknown ||
+        least($"ns1", $"ns2") >= lit(JaccardTheta) * greatest($"ns1", $"ns2"))
     else joined
     kept.select($"d1", $"d2").distinct()
   }

@@ -66,6 +66,35 @@ class BandTunerSpec extends SparkSpec {
     assert(a.nTables * a.planesPerTable <= 16, s"budget must bind: $a")
   }
 
+  test("size-ratio dimension: a 1-row shape on the boilerplate corpus exposes killable mass") {
+    // the r11 finding folded into the advice: recall-total 1-row shapes on
+    // a size-heterogeneous corpus admit size-mismatched banding collisions
+    // in volume — mass the default-on prefilter kills, which raw bucket
+    // pricing can't see. Floor 0.95 forces rows=1 (8x2 models 0.8999 at
+    // j=0.5), the boilerplate generator supplies the heterogeneity.
+    val dir = Corpora.generateBoilerplateDocs(spark, 2000)
+    val boiler = BandTuner.suggestMinhash(spark, dir, jaccard = 0.5,
+      recallFloor = 0.95)
+    info(s"boiler: $boiler")
+    assert(boiler.planesPerTable == 1, s"expected the recall-total 1-row shape: $boiler")
+    assert(boiler.cardCv > 0.3,
+      s"log-uniform 25..500 tails must read as heterogeneous: $boiler")
+    assert(boiler.prefilterKeepFraction < 0.95,
+      s"expected real killable mass in the 1-row estimate: $boiler")
+    // same shape on the gate corpus: its candidates are dominated by
+    // planted SAME-SIZE near-dups, so less of the mass is killable — the
+    // keep fraction, priced on the real banding, is the discriminator
+    // (NOT cardCv: the gate docs vary in length almost as much as the
+    // boilerplate tails, measured cv 0.48 vs 0.42 — heterogeneity only
+    // matters where banding actually collides the mismatched sizes)
+    val gate = BandTuner.suggestMinhash(spark, sfDir, jaccard = 0.5,
+      recallFloor = 0.95)
+    info(s"gate: $gate")
+    assert(gate.planesPerTable == 1)
+    assert(gate.prefilterKeepFraction > boiler.prefilterKeepFraction,
+      s"gate must have less killable mass: gate=$gate boiler=$boiler")
+  }
+
   test("probed recall model: probeBits=0 degenerates to pairRecall, probing only helps") {
     for (cos <- Seq(0.5, 0.7, 0.9); t <- Seq(4, 8); p <- Seq(4, 10)) {
       assert(BandTuner.pairRecallProbed(cos, t, p, 0) == BandTuner.pairRecall(cos, t, p))

@@ -175,6 +175,46 @@ class MinhashSigSpec extends SparkSpec {
     assert(qualifying > 0, "property vacuous — no qualifying pairs generated")
   }
 
+  test("past the card cap: sentinel card, exact signature, pair kept by the prefilter") {
+    // round 12 (r11 advice): a doc over CardCapShingles shingles must not
+    // fail the query (old require) nor allocate a giant per-row set — the
+    // fused kernel emits CardUnknown and keeps the signature exact, and
+    // the candidate join passes sentinel rows through the size-ratio bound
+    import graft.expr.MinhashSig.{CardCapShingles, CardUnknown}
+    val nToks = CardCapShingles + 10 // ~4M two-byte tokens, ~16 MB text
+    val giant = {
+      val sb = new java.lang.StringBuilder(nToks * 4)
+      var i = 0
+      while (i < nToks) { if (i > 0) sb.append(' '); sb.append(i % 97); i += 1 }
+      sb.toString
+    }
+    val few = 4
+    val fused = MinhashSig.computeWithCard(UTF8String.fromString(giant), few)
+    val plain = MinhashSig.compute(UTF8String.fromString(giant), few)
+    assert(fused(few) == CardUnknown, s"expected the sentinel, got ${fused(few)}")
+    assert(fused.take(few).toSeq == plain.toSeq, "signature must stay exact past the cap")
+    // under the cap the fused card is still the true count (boundary pin)
+    val small = MinhashSig.computeWithCard(UTF8String.fromString("a b c d"), few)
+    assert(small(few) == 2L)
+
+    // end-to-end: two mutated giant copies + normal docs; with the
+    // prefilter ON the giant pair must still reach the candidate set
+    // (sentinel pass-through in minhashCandidatesPlan's join condition)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_giant").toString
+    val giant2 = giant.replace("96", "42")
+    Seq((0L, giant), (1L, giant2), (2L, "x y z w"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.sim.prefilter", "true")
+    try {
+      val cands = graft.functions.DedupOps.minhashCandidatesPlan(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands.contains((0L, 1L)),
+        s"sentinel pair rejected by the prefilter: $cands")
+    } finally spark.conf.unset("graft.sim.prefilter")
+  }
+
   test("compute matches Spark's xxhash64 chain on a hand-built shingle") {
     // one 3-token doc = one shingle = the whole normalized string; pin the
     // hash chain itself (seed 42, string hash, hashLong then hashInt fold)
