@@ -329,12 +329,14 @@ object DedupOps extends QueryPack {
     import spark.implicits._
     val candDocs = candidates
       .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
-    val keyed =
-      if (hashVerify(spark))
-        shingledRaw(spark, dir).select($"doc_id", xxhash64($"shingle").as("shingle"))
-      else shingledRaw(spark, dir)
-    val shCand = keyed
+    // hash ABOVE the semi-join: only the candidate slice pays the
+    // per-shingle xxhash64, not the whole corpus stream (the semi-join's
+    // condition needs doc_id alone, so the slice cut comes first)
+    val sliced = shingledRaw(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val shCand = (if (hashVerify(spark))
+        sliced.select($"doc_id", xxhash64($"shingle").as("shingle"))
+      else sliced)
       .distinct()
       // candidate-slice only; localCheckpoint over .cache() for the same
       // ContextCleaner-managed lifetime as minhashCandidates above

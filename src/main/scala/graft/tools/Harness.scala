@@ -301,7 +301,7 @@ object Harness {
     ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
-    ("verify-shuffle", "[n] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
+    ("verify-shuffle", "[n|dir:<path>] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
@@ -682,8 +682,13 @@ object Harness {
     */
   private def verifyShuffle(args: Array[String]): Unit = {
     val spark = Session.local(32, "verify-shuffle")
-    val n = args.lift(0).map(_.toInt).getOrElse(20000)
-    val dir = Corpora.generateBoilerplateDocs(spark, n)
+    // arg 0: boilerplate doc count, or "dir:<path>" to point at existing
+    // tables (e.g. the sf0.1 gate corpus)
+    val dir = args.headOption match {
+      case Some(s) if s.startsWith("dir:") => s.stripPrefix("dir:")
+      case o => Corpora.generateBoilerplateDocs(spark, o.map(_.toInt).getOrElse(20000))
+    }
+    val n = dir
     spark.conf.set("graft.sim.exact", "false")
     spark.conf.set("graft.sim.prefilter", "true")
     args.lift(1).foreach(s => spark.conf.set("graft.sim.bands.minhash", s))
@@ -713,13 +718,13 @@ object Harness {
     def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
     val (tCand, rCand, wCand) = measured(
       noop(DedupOps.minhashCandidatesPlan(spark, dir)))
-    println(f"VERIFYSHUF n=$n shape=$shape candidates-only " +
+    println(f"VERIFYSHUF corpus=$n shape=$shape candidates-only " +
       f"min=$tCand%.2fs shuffle read=${mb(rCand)} write=${mb(wCand)}")
     for (hv <- Seq(false, true)) {
       spark.conf.set("graft.dedup.hashverify", hv.toString)
       val (t, r, w) = measured(noop(DedupOps.ngramJaccard(spark, dir)))
       val mode = if (hv) "hash-keys" else "string-keys"
-      println(f"VERIFYSHUF n=$n shape=$shape full[$mode%-11s] " +
+      println(f"VERIFYSHUF corpus=$n shape=$shape full[$mode%-11s] " +
         f"min=$t%.2fs verify-share=${t - tCand}%.2fs " +
         f"shuffle read=${mb(r)} write=${mb(w)}")
     }
