@@ -275,6 +275,7 @@ object Corpora {
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n] [shape]` — string vs hash shingle keys in the jaccard verify
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
+  *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
   *  - `crossover [n...]` — exact↔banded crossover on clustered corpus
@@ -303,6 +304,7 @@ object Harness {
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n|dir:<path>] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
+    ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
@@ -838,6 +840,33 @@ object Harness {
     * default exists for clusters); the MECHANISM — detection, split,
     * replicate-other-side, identical result — is what's being measured.
     */
+  /** Round 12: measure the star-contraction round count and wall on PATH
+    * graphs — the adversarial shape for label propagation (diameter = n−1,
+    * which the old 25-round min-label loop silently fractured past n=26).
+    * Alternating large-star/small-star must close any path in O(log n)
+    * rounds with per-round cost linear in edges; this prints both so the
+    * 100 TB extrapolation (rounds grow by +1 per doubling, each round is
+    * two id-width shuffles) is a measured line, not a citation.
+    */
+  private def ccChain(args: Array[String]): Unit = {
+    val spark = Session.local(32, "cc-chain")
+    import spark.implicits._
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1000, 10000, 100000, 1000000)
+    for (n <- sizes) {
+      val nodes = spark.range(n).select($"id".as("doc_id"))
+      val pairs = spark.range(n - 1).select($"id".as("d1"), ($"id" + 1).as("d2"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = DedupOps.starComponents(nodes, pairs)
+      val distinctLabels = labels.select($"label").distinct().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"CCCHAIN n=$n%8d diameter=${n - 1}%8d rounds=$rounds%3d " +
+        f"components=$distinctLabels wall=$wall%.2fs")
+      assert(distinctLabels == 1, s"path graph fractured: $distinctLabels components")
+    }
+    spark.stop()
+  }
+
   private def skewMinhash(args: Array[String]): Unit = {
     val spark = Session.local(32, "skew-minhash")
     import spark.implicits._
