@@ -62,6 +62,19 @@ class DegenerateDataSpec extends SparkSpec {
       finite(name, f(spark, dir))
   }
 
+  test("decontamination completes on degenerate documents under both join paths") {
+    // doc_ids 0–4 are the eval set here, so the eval grams include the
+    // empty/whitespace/single-token degenerates — the bloom path must
+    // build a filter over them (count ≥ 1 floor) and both paths must
+    // agree row-for-row
+    val broadcastRows = TextOps.decontaminate(spark, dir).collect().map(_.toString).toSeq
+    spark.conf.set("graft.text.decontam.bloom", "true")
+    try {
+      val bloomRows = TextOps.decontaminate(spark, dir).collect().map(_.toString).toSeq
+      assert(broadcastRows.nonEmpty && bloomRows == broadcastRows)
+    } finally spark.conf.unset("graft.text.decontam.bloom")
+  }
+
   test("dedup operators complete with finite outputs on degenerate documents") {
     for ((name, f) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         "dedup_exact" -> (DedupOps.exactDedup _),
