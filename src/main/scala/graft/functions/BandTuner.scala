@@ -47,7 +47,10 @@ final case class BandShapeAdvice(
       * below 1 exactly where a recall-total 1-row shape on a
       * size-heterogeneous corpus admits candidate explosion — the r11
       * boilerplate finding (16×1: 42 M raw vs 8×2: 1.5 M at 20k docs)
-      * folded into the advice. */
+      * folded into the advice. Docs carrying the over-cap CardUnknown
+      * sentinel are priced as ALWAYS KEPT (matching the deployed
+      * pass-through), not size-classed — else their pairs would read as
+      * killed and the bound would stop being an upper bound. */
     prefilterKeepFraction: Double = 1.0) {
   /** The `graft.sim.bands.<key>` value this advice corresponds to. */
   def shape: String = s"${nTables}x$planesPerTable"
@@ -334,7 +337,14 @@ object BandTuner {
           // surviving mass from above (overestimating survivors = the
           // advisor's usual pessimistic-cost posture, applied to the kill)
           val theta = DedupOps.JaccardTheta
-          val byCls = bb.select($"bb",
+          val sentinel = lit(graft.expr.MinhashSig.CardUnknown)
+          // sentinel rows (docs past CardCapShingles carry CardUnknown)
+          // are ALWAYS kept by the deployed prefilter (the pass-through in
+          // minhashCandidatesPlan), so they must not be size-classed —
+          // class 0 would count their pairs as killed and break the
+          // keep-is-an-upper-bound contract. They're priced separately
+          // below as all-kept, and excluded from the cv (a 0 isn't a card).
+          val byCls = bb.filter($"n_sh" =!= sentinel).select($"bb",
               floor(log(greatest($"n_sh", lit(1L)).cast("double")) /
                 math.log(1.0 / theta)).as("cls"))
             .groupBy($"bb", $"cls").agg(count(lit(1)).as("c"))
@@ -347,10 +357,21 @@ object BandTuner {
               Seq("bb", "cls"))
             .agg(coalesce(sum($"c1" * $"c2"), lit(0L)))
             .head.getLong(0).toDouble
-          val statsRow = sigs
-            .agg(coalesce(stddev_samp($"n_sh"), lit(0.0)), avg($"n_sh")).head
+          // every pair touching a sentinel survives: within-sentinel plus
+          // sentinel × normal, per bucket
+          val sentKept = bb.groupBy($"bb").agg(
+              count(lit(1)).as("cT"),
+              coalesce(sum(when($"n_sh" === sentinel, 1L).otherwise(0L)),
+                lit(0L)).as("cS"))
+            .agg(coalesce(sum(
+              ($"cS" * ($"cS" - 1)).cast("double") / 2.0 +
+                ($"cS" * ($"cT" - $"cS")).cast("double")), lit(0.0)))
+            .head.getDouble(0)
+          val statsRow = sigs.filter($"n_sh" =!= sentinel)
+            .agg(coalesce(stddev_samp($"n_sh"), lit(0.0)),
+              coalesce(avg($"n_sh"), lit(0.0))).head
           val (sd, mean) = (statsRow.getDouble(0), statsRow.getDouble(1))
-          (total, math.min(total, same + adjacent),
+          (total, math.min(total, same + adjacent + sentKept),
             if (mean > 0) sd / mean else 0.0)
         }
       val frac =

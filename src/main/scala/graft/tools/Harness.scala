@@ -227,6 +227,12 @@ object Corpora {
   def generateDecontamDocs(spark: SparkSession, n: Int, evalTokens: Int,
       seed: Int = 29): String = {
     import spark.implicits._
+    // the splice below needs a valid 30-token window start in
+    // [0, evalTokens - 30); at exactly 30 the modulus is 0 (divide error)
+    // and below it the window would index past the eval doc — fail loudly
+    // rather than generate a corpus with no real contamination
+    require(evalTokens > 30,
+      s"evalTokens must exceed the 30-token splice window, got $evalTokens")
     val vocabE = math.max(2, evalTokens / 2)
     def evTok(d: Long, j: Int): String =
       "e" + math.floorMod((d * 1000003L + j) * 2654435761L >>> 13, vocabE.toLong)
@@ -237,7 +243,10 @@ object Corpora {
           val r = new scala.util.Random(seed * 7919L + i)
           val toks = Array.fill(200)("w" + r.nextInt(50000))
           if (i % 20 == 5) {
-            val ev = i % 5
+            // i ≡ 5 (mod 20) makes i % 5 the constant 0 — derive the eval
+            // doc from the contamination ordinal so windows cycle across
+            // all 5 eval docs as intended
+            val ev = (i / 20) % 5
             val off = math.floorMod(i * 37L, (evalTokens - 30).toLong).toInt
             (toks.take(170) ++ (off until off + 30).map(j => evTok(ev, j))).mkString(" ")
           } else toks.mkString(" ")
@@ -257,6 +266,47 @@ object Corpora {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }.min
   }
+}
+
+/** Shuffle-bytes measurement rig shared by the A/B subcommands
+  * (`verify-shuffle`, `decontam-bloom`): one task-metrics listener plus
+  * the settle/zero/min-of-3 ritual, factored so a protocol change (the
+  * settle duration, which pass feeds the byte figures) lands in every
+  * A/B at once instead of silently diverging per copy. Listener events
+  * drain async and the bus has no public waitUntilEmpty, so reads settle
+  * 2 s before zeroing/reading counters; the warm pass takes codegen +
+  * shuffle-file setup out of the measurement, and only the LAST timed
+  * pass (counters zeroed right before it) feeds the byte figures.
+  */
+final class ShuffleMeter(spark: SparkSession) {
+  private val shufRead = new AtomicLong
+  private val shufWrite = new AtomicLong
+  spark.sparkContext.addSparkListener(new SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  })
+  private def settle(): Unit = Thread.sleep(2000)
+
+  /** (min wall of 3, shuffle bytes read, written) — bytes from the last
+    * timed pass only. */
+  def measured(f: => Unit): (Double, Long, Long) = {
+    f // warm
+    val times = (1 to 3).map { i =>
+      if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    settle()
+    (times.min, shufRead.get, shufWrite.get)
+  }
+}
+
+object ShuffleMeter {
+  def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
 }
 
 /** The measurement harness behind SCALE.md, consolidated (r9 verdict #5)
@@ -695,29 +745,9 @@ object Harness {
     spark.conf.set("graft.sim.prefilter", "true")
     args.lift(1).foreach(s => spark.conf.set("graft.sim.bands.minhash", s))
     val shape = spark.conf.get("graft.sim.bands.minhash", "8x2(default)")
-    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      }
-    })
-    // listener events drain async; settle (skew-minhash's pattern — the
-    // bus has no public waitUntilEmpty) before zeroing / reading counters
-    def settle(): Unit = Thread.sleep(2000)
-    def measured(f: => Unit): (Double, Long, Long) = {
-      f // warm: codegen + shuffle-file setup out of the measurement
-      val times = (1 to 3).map { i =>
-        if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      settle()
-      (times.min, shufRead.get, shufWrite.get)
-    }
-    def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+    val meter = new ShuffleMeter(spark)
+    import ShuffleMeter.mb
+    import meter.measured
     val (tCand, rCand, wCand) = measured(
       noop(DedupOps.minhashCandidatesPlan(spark, dir)))
     println(f"VERIFYSHUF corpus=$n shape=$shape candidates-only " +
@@ -752,30 +782,18 @@ object Harness {
     val n = args.lift(0).map(_.toInt).getOrElse(50000)
     val evalTokens = args.lift(1).map(_.toInt).getOrElse(200000)
     val dir = Corpora.generateDecontamDocs(spark, n, evalTokens)
-    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      }
-    })
-    def settle(): Unit = Thread.sleep(2000)
-    def measured(f: => Unit): (Double, Long, Long) = {
-      f // warm
-      val times = (1 to 3).map { i =>
-        if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      settle()
-      (times.min, shufRead.get, shufWrite.get)
-    }
-    def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+    val meter = new ShuffleMeter(spark)
+    import ShuffleMeter.mb
+    import meter.measured
     val contaminated = TextOps.decontaminate(spark, dir)
       .filter(org.apache.spark.sql.functions.col("contaminated")).count()
     println(s"DECONTAM n=$n evalTokens=$evalTokens plantedContaminated=$contaminated")
+    // the A/B is meaningless on a corpus with no (or partial) planted
+    // contamination — assert the full schedule was both planted and
+    // detected (disjoint vocabularies make false positives impossible)
+    val expected = (5L until (n + 5L)).count(_ % 20 == 5)
+    assert(contaminated == expected,
+      s"planted $expected contaminated docs, detected $contaminated — generator or detector broke")
     // the naive outgrown design the bloom path replaces: decontaminate's
     // exact shape MINUS the broadcast hint and minus the bloom — the raw
     // corpus shingle stream crosses the exchange into a shuffle join.

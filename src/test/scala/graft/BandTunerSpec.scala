@@ -95,6 +95,41 @@ class BandTunerSpec extends SparkSpec {
       s"gate must have less killable mass: gate=$gate boiler=$boiler")
   }
 
+  test("over-cap sentinel docs price as always-kept, not as a size class") {
+    // a doc past CardCapShingles carries n_sh = CardUnknown (0); the
+    // deployed prefilter passes such rows through unconditionally, so the
+    // advisor must price their pairs as KEPT — size-classing the 0 would
+    // count them killed and break the keep-is-an-upper-bound contract.
+    // Discriminating corpus: a periodic giant (tokens i % 97 ⇒ ~97
+    // distinct shingles) and its 2^21-token prefix share the SAME distinct
+    // shingle set, hence identical minhash signatures ⇒ they collide in
+    // every band; the giant is over-cap (sentinel), the prefix's true card
+    // is tiny (class ~6), so the buggy classing reads the pair as ≥2
+    // classes apart (killed ⇒ keep = 0) where the pass-through semantics
+    // say keep = 1.
+    import graft.expr.MinhashSig.CardCapShingles
+    def periodic(nToks: Int): String = {
+      val sb = new java.lang.StringBuilder(nToks * 4)
+      var i = 0
+      while (i < nToks) { if (i > 0) sb.append(' '); sb.append(i % 97); i += 1 }
+      sb.toString
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_senttune").toString
+    Seq((0L, periodic(CardCapShingles + 10)), (1L, periodic(1 << 21)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = BandTuner.suggestMinhash(spark, dir, jaccard = 0.5,
+      recallFloor = 0.95)
+    info(s"sentinel corpus: $a")
+    assert(a.prefilterKeepFraction == 1.0,
+      s"the sentinel pair must price as kept (pass-through): $a")
+    // the cv excludes sentinels (a 0 is not a cardinality): one real doc
+    // left ⇒ stddev_samp is null ⇒ cv 0, where classing the 0 would read
+    // a wildly heterogeneous two-doc corpus
+    assert(a.cardCv == 0.0, s"sentinel must not feed the cv: $a")
+  }
+
   test("probed recall model: probeBits=0 degenerates to pairRecall, probing only helps") {
     for (cos <- Seq(0.5, 0.7, 0.9); t <- Seq(4, 8); p <- Seq(4, 10)) {
       assert(BandTuner.pairRecallProbed(cos, t, p, 0) == BandTuner.pairRecall(cos, t, p))

@@ -207,10 +207,14 @@ class ExactnessSpec extends SparkSpec {
     // always verifies via jaccardStats) and the banded ngramJaccard route
     for (banded <- Seq(false, true)) {
       def both(f: => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
-        val hashed = rowsOf(f)
-        spark.conf.set("graft.dedup.hashverify", "false")
-        try { (hashed, rowsOf(f)) }
-        finally spark.conf.unset("graft.dedup.hashverify")
+        // set the hashed leg explicitly — relying on the session default
+        // would compare string against string if the default ever flips
+        spark.conf.set("graft.dedup.hashverify", "true")
+        try {
+          val hashed = rowsOf(f)
+          spark.conf.set("graft.dedup.hashverify", "false")
+          (hashed, rowsOf(f))
+        } finally spark.conf.unset("graft.dedup.hashverify")
       }
       val (h, s) =
         if (banded) withCandidatePath(both(DedupOps.ngramJaccard(spark, sfDir)))
