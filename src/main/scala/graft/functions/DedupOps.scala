@@ -555,6 +555,12 @@ object DedupOps extends QueryPack {
     * instead of O(diameter). Each round is two groupBy+join shuffles on
     * id-width rows; `localCheckpoint` truncates lineage per round
     * (the iterative-algorithm pattern Pregel/GraphFrames use).
+    * Deployment caveat: localCheckpoint stores blocks on executors, so
+    * an executor loss mid-job forfeits them (no lineage left to
+    * recompute) — right for local[32] and on-demand clusters, but on a
+    * PREEMPTIBLE cluster substitute reliable `checkpoint` with a
+    * `sparkContext.setCheckpointDir` to durable storage, at one HDFS
+    * write per round (the standard Pregel production posture).
     *
     * Convergence test is EXACT, not a checksum: both edge sets are
     * distinct, so |next| = |cur| ∧ next∖cur = ∅ ⟺ next = cur — a hash
