@@ -276,8 +276,20 @@ object DedupOps extends QueryPack {
       withCard = pf)
     val b = bandBuckets(sigs, bands, rows,
       carry = if (pf) Seq("n_sh") else Nil)
+    // oversized-bucket drop ([[bucketCap]], off for the gate): the sizes
+    // groupBy and the semi-join both hash-partition on bb exactly like the
+    // self-join legs, so the band stream's exchange is computed once and
+    // reused — the cap costs one narrow (bb, count) aggregation, and what
+    // it buys is candidate mass bounded by corpus × cap instead of
+    // Σ c_bucket² (measured quadratic on boilerplate corpora)
+    val cap = bucketCap(spark)
+    val bc = if (cap > 0) {
+      val small = b.groupBy($"bb").agg(count(lit(1)).as("bkt_n"))
+        .filter($"bkt_n" <= cap).select($"bb")
+      b.join(small.hint("shuffle_hash"), Seq("bb"), "left_semi")
+    } else b
     def side(d: String, ns: String): DataFrame =
-      b.select($"bb" +: $"doc_id".as(d) +:
+      bc.select($"bb" +: $"doc_id".as(d) +:
         (if (pf) Seq($"n_sh".as(ns)) else Nil): _*).hint("shuffle_hash")
     val joined = side("d1", "ns1").join(side("d2", "ns2"), Seq("bb"))
       .filter($"d1" < $"d2")
@@ -293,6 +305,34 @@ object DedupOps extends QueryPack {
     else joined
     kept.select($"d1", $"d2").distinct()
   }
+
+  /** `graft.dedup.bucketcap` (default 0 = off): before the candidate
+    * self-join, DROP every (band,bucket) group holding more than this many
+    * documents. The quadratic hazard it bounds is measured, not
+    * hypothetical (SCALE.md round 12): on a boilerplate corpus the 8×2
+    * shape's candidate mass grows ~quadratically in corpus size — shared
+    * banner shingles supply the per-band minima for short documents, so a
+    * constant FRACTION of same-size doc pairs collides, mass the size-ratio
+    * prefilter cannot touch (equal sizes pass the bound) — and at 100k
+    * docs the uncapped verify fan-out kills the local JVM outright. A
+    * bucket of c docs contributes c(c−1)/2 enumerated pairs; capping
+    * bounds total candidate mass to O(corpus × cap) — linear again.
+    *
+    * Semantics, stated honestly: capping is LOSSY, which is why the gate
+    * profile leaves it off (the DuckDB oracle replays exact banding). A
+    * pair at Jaccard j collides in each band independently with
+    * probability j^rows, so a pair losing k of its colliding bands to the
+    * cap is still found with 1−(1−j^rows)^(B−k) — near-dup pairs that
+    * share ANY small bucket survive. What the cap removes outright is
+    * pairs ALL of whose shared buckets are degenerate — i.e. documents
+    * whose similarity IS the boilerplate (or thousand-fold identical
+    * copies, which exact dedup upstream handles cheaper). ExactnessSpec
+    * pins both directions: a permissive cap is a no-op on the gate corpus,
+    * and the capped candidate set equals the independent
+    * pairs-sharing-a-small-bucket reference on a boilerplate corpus.
+    */
+  private[graft] def bucketCap(spark: SparkSession): Int =
+    spark.conf.get("graft.dedup.bucketcap", "0").toInt
 
   /** `graft.dedup.hashverify` (default on): carry 8-byte xxhash64 shingle
     * keys instead of shingle STRINGS through the verify stage's shuffles

@@ -352,7 +352,7 @@ object Harness {
     ("object-agg", "[groups...] — object-buffer agg fallback boundary + spill", objectAgg),
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
-    ("verify-shuffle", "[n|dir:<path>] [shape] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
+    ("verify-shuffle", "[n|dir:<path>] [shape] [bucketcap] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
     ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
@@ -744,20 +744,25 @@ object Harness {
     spark.conf.set("graft.sim.exact", "false")
     spark.conf.set("graft.sim.prefilter", "true")
     args.lift(1).foreach(s => spark.conf.set("graft.sim.bands.minhash", s))
+    // arg 2: bucket cap (graft.dedup.bucketcap) — the quadratic-mass dial
+    args.lift(2).foreach(c => spark.conf.set("graft.dedup.bucketcap", c))
     val shape = spark.conf.get("graft.sim.bands.minhash", "8x2(default)")
+    val cap = spark.conf.get("graft.dedup.bucketcap", "off")
     val meter = new ShuffleMeter(spark)
     import ShuffleMeter.mb
     import meter.measured
+    val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
     val (tCand, rCand, wCand) = measured(
       noop(DedupOps.minhashCandidatesPlan(spark, dir)))
-    println(f"VERIFYSHUF corpus=$n shape=$shape candidates-only " +
-      f"min=$tCand%.2fs shuffle read=${mb(rCand)} write=${mb(wCand)}")
+    println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap candidates=$nCand " +
+      f"candidates-only min=$tCand%.2fs shuffle read=${mb(rCand)} write=${mb(wCand)}")
     for (hv <- Seq(false, true)) {
       spark.conf.set("graft.dedup.hashverify", hv.toString)
+      val nPairs = DedupOps.ngramJaccard(spark, dir).count()
       val (t, r, w) = measured(noop(DedupOps.ngramJaccard(spark, dir)))
       val mode = if (hv) "hash-keys" else "string-keys"
-      println(f"VERIFYSHUF corpus=$n shape=$shape full[$mode%-11s] " +
-        f"min=$t%.2fs verify-share=${t - tCand}%.2fs " +
+      println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap full[$mode%-11s] " +
+        f"min=$t%.2fs verify-share=${t - tCand}%.2fs verifiedPairs=$nPairs " +
         f"shuffle read=${mb(r)} write=${mb(w)}")
     }
     spark.stop()

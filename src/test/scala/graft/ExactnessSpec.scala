@@ -224,6 +224,61 @@ class ExactnessSpec extends SparkSpec {
     }
   }
 
+  test("bucket cap: a permissive cap is a no-op on the gate corpus") {
+    // graft.dedup.bucketcap is the deployment dial against quadratic
+    // boilerplate-bucket mass; with the cap above every gate bucket size
+    // it must change nothing — pairs, jaccards, ordering
+    val uncapped = rowsOf(DedupOps.minhashLsh(spark, sfDir))
+    spark.conf.set("graft.dedup.bucketcap", "1000000")
+    try {
+      val capped = rowsOf(DedupOps.minhashLsh(spark, sfDir))
+      assert(uncapped.nonEmpty && capped == uncapped,
+        s"missing=${uncapped.toSet -- capped.toSet} spurious=${capped.toSet -- uncapped.toSet}")
+    } finally spark.conf.unset("graft.dedup.bucketcap")
+  }
+
+  test("bucket cap: capped candidates ≡ the pairs-sharing-a-small-bucket reference") {
+    // independent reference, the union-find-style pin: recompute band
+    // buckets straight from the signature columns, group membership on the
+    // driver, and enumerate pairs — a pair must survive the cap iff SOME
+    // bucket both docs share holds ≤ cap docs (one small shared band is
+    // enough; only pairs whose every collision is degenerate drop).
+    // Prefilter off so the reference is purely banding + cap semantics.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tools.Corpora.generateBoilerplateDocs(spark, 1000)
+    val cap = 8
+    def pairsOf: Set[(Long, Long)] = DedupOps.minhashCandidatesPlan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.sim.prefilter", "false")
+    try {
+      val uncapped = pairsOf
+      spark.conf.set("graft.dedup.bucketcap", cap.toString)
+      val capped = pairsOf
+      val sigs = DedupOps.minhashSigsOf(
+        graft.core.Tables.documents(spark, dir), DedupOps.NumHashes)
+      val membership = sigs.select($"doc_id", explode(array(
+          (0 until DedupOps.NumBands).map(b => struct(lit(b).as("band"),
+            xxhash64($"mh_${b * DedupOps.BandRows}",
+              $"mh_${b * DedupOps.BandRows + 1}").as("bh"))): _*)).as("bb"))
+        .select($"doc_id", $"bb".cast("string").as("bk"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+      def pairsFrom(buckets: Iterable[Seq[Long]]): Set[(Long, Long)] =
+        buckets.flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b)).toSet
+      assert(uncapped == pairsFrom(membership.values),
+        "reference banding disagrees with the candidate plan")
+      val expected = pairsFrom(membership.values.filter(_.size <= cap))
+      assert(capped == expected,
+        s"missing=${expected -- capped} spurious=${capped -- expected}")
+      assert(capped.size < uncapped.size,
+        s"cap=$cap never bit on the boilerplate corpus ($uncapped)")
+    } finally {
+      spark.conf.unset("graft.sim.prefilter")
+      spark.conf.unset("graft.dedup.bucketcap")
+    }
+  }
+
   test("text_decontaminate: bloom-prefiltered path ≡ broadcast path (corpus_select too)") {
     // the bloom is a may-contain prefilter ahead of an exact join, so
     // false positives are re-verified and false negatives don't exist —
