@@ -276,17 +276,21 @@ object DedupOps extends QueryPack {
       withCard = pf)
     val b = bandBuckets(sigs, bands, rows,
       carry = if (pf) Seq("n_sh") else Nil)
-    // oversized-bucket drop ([[bucketCap]], off for the gate): the sizes
-    // groupBy and the semi-join both hash-partition on bb exactly like the
-    // self-join legs, so the band stream's exchange is computed once and
-    // reused — the cap costs one narrow (bb, count) aggregation, and what
-    // it buys is candidate mass bounded by corpus × cap instead of
-    // Σ c_bucket² (measured quadratic on boilerplate corpora)
+    // oversized-bucket drop ([[bucketCap]], off for the gate). The band
+    // stream is MATERIALIZED once (localCheckpoint) before the cap's
+    // consumers: without it, each self-join leg embeds its own copy of
+    // both the band stream and the (bb,count) aggregation — measured 4
+    // full scan+signature passes where one suffices (ReuseExchange did
+    // not unify the duplicated subtrees; the probe is pinned in
+    // PlanSpec). The materialized stream is bands × corpus rows of
+    // id-width longs — the same width the (band,bucket) shuffle already
+    // carries — and the cost is paid only when the dial is on.
     val cap = bucketCap(spark)
     val bc = if (cap > 0) {
-      val small = b.groupBy($"bb").agg(count(lit(1)).as("bkt_n"))
+      val bMat = b.localCheckpoint(true)
+      val small = bMat.groupBy($"bb").agg(count(lit(1)).as("bkt_n"))
         .filter($"bkt_n" <= cap).select($"bb")
-      b.join(small.hint("shuffle_hash"), Seq("bb"), "left_semi")
+      bMat.join(small.hint("shuffle_hash"), Seq("bb"), "left_semi")
     } else b
     def side(d: String, ns: String): DataFrame =
       bc.select($"bb" +: $"doc_id".as(d) +:

@@ -241,4 +241,23 @@ class PlanSpec extends SparkSpec {
         s"no might-contain filter below a join:\n$plan")
     } finally spark.conf.unset("graft.text.decontam.bloom")
   }
+
+  test("bucket cap: one signature pass — the capped candidate plan rescans nothing") {
+    // without the explicit materialization, each self-join leg embedded
+    // its own copy of the band stream AND the (bb,count) sizes
+    // aggregation — 4 full scan+signature passes where one suffices
+    // (ReuseExchange did not unify the duplicated subtrees; measured,
+    // SCALE.md round 12). The checkpoint makes the single pass a plan
+    // property: the capped candidate subtree must contain NO parquet
+    // scan — every consumer reads the materialized band stream.
+    spark.conf.set("graft.dedup.bucketcap", "64")
+    try {
+      val df = graft.functions.DedupOps.minhashCandidatesPlan(spark, sfDir)
+      df.count() // finalize AQE stages
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        s"capped candidate plan rescans the corpus:\n$plan")
+      assert(plan.contains("LeftSemi"), s"cap semi-join missing:\n$plan")
+    } finally spark.conf.unset("graft.dedup.bucketcap")
+  }
 }
