@@ -280,6 +280,13 @@ object BandTuner {
     * by size-mismatched collisions the default-on prefilter will reject
     * in-stage, and a keep near 1 on a heterogeneous corpus (high cardCv)
     * means the SHAPE, not the prefilter, is doing the suppression.
+    *
+    * The remaining quadrant — `candidateFraction` HIGH with keep near 1 —
+    * is SAME-size collision mass (boilerplate-driven per-band minima;
+    * candidateFraction is mass/allPairs, both quadratic, so the sampled
+    * fraction faithfully reflects the full-corpus share). Neither
+    * prefilter touches it; the remedy is [[DedupOps.bucketCap]]
+    * (`graft.dedup.bucketcap`), measured in SCALE.md round 12.
     */
   def suggestMinhash(
       spark: SparkSession,
