@@ -245,10 +245,18 @@ object DedupOps extends QueryPack {
     // soon as the returned plan is unreferenced.
     minhashCandidatesPlan(spark, dir).localCheckpoint(true)
 
-  /** The candidate-generation subtree WITHOUT the checkpoint boundary —
-    * [[minhashCandidates]] minus the `localCheckpoint`, exposed so plan
-    * dumps (DumpPlans) can show the signature/banding stages that the
-    * checkpoint otherwise collapses to `Scan ExistingRDD`.
+  /** The candidate-generation subtree WITHOUT the closing checkpoint
+    * boundary — [[minhashCandidates]] minus its `localCheckpoint`, exposed
+    * so plan dumps (DumpPlans) can show the signature/banding stages that
+    * the checkpoint otherwise collapses to `Scan ExistingRDD`.
+    *
+    * CAP-ON EXCEPTION to that laziness: with [[bucketCap]] > 0 the band
+    * stream is materialized by an INNER `localCheckpoint` at construction
+    * time — a deliberate trade (one signature pass instead of the four a
+    * lazy capped plan executes — PlanSpec pins it), so building this frame
+    * with the cap set runs a corpus job eagerly and a dump shows the
+    * capped subtree above `Scan ExistingRDD`. Dump plans with the cap
+    * unset (the default) to see the full lazy pipeline.
     */
   private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -293,9 +293,12 @@ final class ShuffleMeter(spark: SparkSession) {
   private def settle(): Unit = Thread.sleep(2000)
 
   /** (min wall of 3, shuffle bytes read, written) — bytes from the last
-    * timed pass only. */
-  def measured(f: => Unit): (Double, Long, Long) = {
-    f // warm
+    * timed pass only. `warm = false` skips the warm pass for callers that
+    * just executed the same pipeline anyway (e.g. a diagnostic `count()`
+    * — codegen and shuffle files are already in place; re-warming would
+    * be a fifth full execution for nothing). */
+  def measured(f: => Unit, warm: Boolean = true): (Double, Long, Long) = {
+    if (warm) f
     val times = (1 to 3).map { i =>
       if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -323,7 +326,7 @@ object ShuffleMeter {
   *  - `object-agg [groups...]` — ObjectHashAggregate fallback boundary
   *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
-  *  - `verify-shuffle [n] [shape]` — string vs hash shingle keys in the jaccard verify
+  *  - `verify-shuffle [n|dir:<path>] [shape] [bucketcap]` — string vs hash shingle keys in the jaccard verify
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
   *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
@@ -751,15 +754,16 @@ object Harness {
     val meter = new ShuffleMeter(spark)
     import ShuffleMeter.mb
     import meter.measured
+    // the count doubles as the warm pass (same stages + a cheap agg)
     val nCand = DedupOps.minhashCandidatesPlan(spark, dir).count()
     val (tCand, rCand, wCand) = measured(
-      noop(DedupOps.minhashCandidatesPlan(spark, dir)))
+      noop(DedupOps.minhashCandidatesPlan(spark, dir)), warm = false)
     println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap candidates=$nCand " +
       f"candidates-only min=$tCand%.2fs shuffle read=${mb(rCand)} write=${mb(wCand)}")
     for (hv <- Seq(false, true)) {
       spark.conf.set("graft.dedup.hashverify", hv.toString)
       val nPairs = DedupOps.ngramJaccard(spark, dir).count()
-      val (t, r, w) = measured(noop(DedupOps.ngramJaccard(spark, dir)))
+      val (t, r, w) = measured(noop(DedupOps.ngramJaccard(spark, dir)), warm = false)
       val mode = if (hv) "hash-keys" else "string-keys"
       println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap full[$mode%-11s] " +
         f"min=$t%.2fs verify-share=${t - tCand}%.2fs verifiedPairs=$nPairs " +

@@ -259,8 +259,8 @@ class ExactnessSpec extends SparkSpec {
         graft.core.Tables.documents(spark, dir), DedupOps.NumHashes)
       val membership = sigs.select($"doc_id", explode(array(
           (0 until DedupOps.NumBands).map(b => struct(lit(b).as("band"),
-            xxhash64($"mh_${b * DedupOps.BandRows}",
-              $"mh_${b * DedupOps.BandRows + 1}").as("bh"))): _*)).as("bb"))
+            xxhash64((0 until DedupOps.BandRows)
+              .map(r => $"mh_${b * DedupOps.BandRows + r}"): _*).as("bh"))): _*)).as("bb"))
         .select($"doc_id", $"bb".cast("string").as("bk"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
         .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
@@ -271,8 +271,10 @@ class ExactnessSpec extends SparkSpec {
       val expected = pairsFrom(membership.values.filter(_.size <= cap))
       assert(capped == expected,
         s"missing=${expected -- capped} spurious=${capped -- expected}")
+      val maxBucket = membership.values.map(_.size).max
       assert(capped.size < uncapped.size,
-        s"cap=$cap never bit on the boilerplate corpus ($uncapped)")
+        s"cap=$cap never bit: ${uncapped.size} pairs uncapped vs " +
+          s"${capped.size} capped, max bucket $maxBucket docs")
     } finally {
       spark.conf.unset("graft.sim.prefilter")
       spark.conf.unset("graft.dedup.bucketcap")

@@ -252,9 +252,7 @@ class PlanSpec extends SparkSpec {
     // scan — every consumer reads the materialized band stream.
     spark.conf.set("graft.dedup.bucketcap", "64")
     try {
-      val df = graft.functions.DedupOps.minhashCandidatesPlan(spark, sfDir)
-      df.count() // finalize AQE stages
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = planOf(graft.functions.DedupOps.minhashCandidatesPlan(spark, sfDir))
       assert(!plan.contains("Scan parquet"),
         s"capped candidate plan rescans the corpus:\n$plan")
       assert(plan.contains("LeftSemi"), s"cap semi-join missing:\n$plan")
