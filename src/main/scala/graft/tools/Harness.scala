@@ -880,15 +880,28 @@ object Harness {
     import spark.implicits._
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1000, 10000, 100000, 1000000)
+    // driver-action counter: the r12 loop ran ~4 jobs/round (eager
+    // checkpoint, count, except's two); the r13 fold targets 1/round +
+    // a final-round equality probe. Counted over the contraction only
+    // (the label-count job below runs outside the window).
+    val jobs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     for (n <- sizes) {
       val nodes = spark.range(n).select($"id".as("doc_id"))
       val pairs = spark.range(n - 1).select($"id".as("d1"), ($"id" + 1).as("d2"))
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
       val (labels, rounds) = DedupOps.starComponents(nodes, pairs)
+      Thread.sleep(300) // listener bus is async; let JobStart events drain
+      val nJobs = jobs.get() - j0
       val distinctLabels = labels.select($"label").distinct().count()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"CCCHAIN n=$n%8d diameter=${n - 1}%8d rounds=$rounds%3d " +
-        f"components=$distinctLabels wall=$wall%.2fs")
+        f"components=$distinctLabels jobs=$nJobs%3d (${nJobs.toDouble / math.max(rounds, 1)}%.1f/round) " +
+        f"wall=$wall%.2fs")
       assert(distinctLabels == 1, s"path graph fractured: $distinctLabels components")
     }
     spark.stop()
