@@ -4,6 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The exit-status decision, extracted so VerifyExitSpec can pin BOTH
+    * branches without forking a JVM (r12 verdict #5 — the hatch shipped
+    * untested, and a gate whose failure-to-success switch silently
+    * inverts in a refactor is worse than no switch). Contract: any query
+    * failure exits nonzero UNLESS the driver-facing escape hatch
+    * `SPARK_GRAFT_VERIFY_EXIT0=1` is set — the hatch exists at the
+    * driver's own request (r11 ADVICE.md) for a driver that treats child
+    * exit status as fatal; exactly "1" qualifies, and nothing in this
+    * repo sets it. The `[verify-summary]` line + file remain the scoring
+    * signal on every path.
+    */
+  private[graft] def exitNonzero(failedCount: Int, env: String => Option[String]): Boolean =
+    failedCount > 0 && !env("SPARK_GRAFT_VERIFY_EXIT0").contains("1")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only these query names (dev loop; the
@@ -137,7 +151,7 @@ object Verify {
     // Escape hatch (r11 advice): if a future driver ever starts treating
     // child nonzero as fatal, SPARK_GRAFT_VERIFY_EXIT0=1 restores exit-0
     // without a code change — the summary stays the signal either way.
-    if (failed.nonEmpty && !sys.env.get("SPARK_GRAFT_VERIFY_EXIT0").contains("1"))
+    if (exitNonzero(failed.size, sys.env.get))
       sys.exit(1)
   }
 }

@@ -51,7 +51,21 @@ final case class BandShapeAdvice(
       * sentinel are priced as ALWAYS KEPT (matching the deployed
       * pass-through), not size-classed — else their pairs would read as
       * killed and the bound would stop being an upper bound. */
-    prefilterKeepFraction: Double = 1.0) {
+    prefilterKeepFraction: Double = 1.0,
+    /** MinHash advice only (round 13, r12 verdict #4): a concrete value
+      * for the `graft.dedup.bucketcap` dial, or 0 when the sampled
+      * bucket-size distribution shows no degenerate buckets (no cap
+      * needed). Chosen as the LARGEST power of two strictly below the
+      * smallest DEGENERATE bucket scaled to the corpus — degenerate =
+      * holding ≥1% of sampled docs (boilerplate-driven buckets scale with
+      * corpus size; genuine near-dup clusters are absolute-sized, so the
+      * two populations separate) — and floored above the largest
+      * non-degenerate bucket observed. That keeps 100% of the sampled
+      * non-degenerate mass (every band collision of every sampled genuine
+      * pair survives — zero recall loss on the sampled structure, the r12
+      * measured-table property) while excising every degenerate bucket:
+      * the least lossy cap that still removes the quadratic mass. */
+    suggestedBucketCap: Int = 0) {
   /** The `graft.sim.bands.<key>` value this advice corresponds to. */
   def shape: String = s"${nTables}x$planesPerTable"
 }
@@ -286,7 +300,11 @@ object BandTuner {
     * candidateFraction is mass/allPairs, both quadratic, so the sampled
     * fraction faithfully reflects the full-corpus share). Neither
     * prefilter touches it; the remedy is [[DedupOps.bucketCap]]
-    * (`graft.dedup.bucketcap`), measured in SCALE.md round 12.
+    * (`graft.dedup.bucketcap`), measured in SCALE.md round 12 — and
+    * since round 13 the advice carries a concrete `suggestedBucketCap`
+    * VALUE for that dial, derived from the same sampled bucket-size
+    * distribution the mass estimate already walks (see the field's
+    * scaladoc for the rule and its zero-sampled-recall-loss argument).
     */
   def suggestMinhash(
       spark: SparkSession,
@@ -325,8 +343,8 @@ object BandTuner {
       // dimension (round 12, r11 verdict #4), and the heterogeneity
       // metric: the fused kernel carries n_sh next to the signature,
       // exactly as the deployed candidate path does
-      val (mass, keepMass, cv) =
-        if (s < 2) (0.0, 0.0, 0.0)
+      val (mass, keepMass, cv, cap) =
+        if (s < 2) (0.0, 0.0, 0.0, 0)
         else {
           // the kernel path IS the deployed path (minhashCandidatesPlan),
           // so the priced bucketing stays the deployed bucketing; one
@@ -334,9 +352,38 @@ object BandTuner {
           val sigs = DedupOps.minhashSigsOf(sample, bands * rows, withCard = true)
             .localCheckpoint(true)
           val bb = DedupOps.bandBuckets(sigs, bands, rows, carry = Seq("n_sh"))
-          val total = bb.groupBy($"bb").count()
-            .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
+          // one (bb → size) aggregation feeds the mass estimate AND the
+          // bucket-cap suggestion's size distribution
+          val sizes = bb.groupBy($"bb").agg(count(lit(1)).as("c"))
+            .localCheckpoint(true)
+          val total = sizes
+            .agg(coalesce(sum($"c" * ($"c" - 1)), lit(0L)))
             .head.getLong(0) / 2.0
+          // bucket-cap suggestion (round 13, r12 verdict #4 — see the
+          // suggestedBucketCap scaladoc for the rule and its recall
+          // argument). Distinct sizes are model state (≤ a few hundred
+          // values at any sample size).
+          val szs = sizes.select($"c").distinct().collect().map(_.getLong(0))
+          val degThreshold = math.max(16L, math.ceil(0.01 * s).toLong)
+          val capSuggest = {
+            val deg = szs.filter(_ >= degThreshold)
+            if (deg.isEmpty) 0
+            else {
+              // degenerate buckets scale with corpus size (a constant
+              // FRACTION of docs shares the banner minima), so the sample
+              // size scales up by n/s; non-degenerate buckets are
+              // absolute-sized and stay unscaled
+              val scale = math.max(1.0, n.toDouble / s)
+              val minDegCorpus = math.min(deg.min * scale, Int.MaxValue.toDouble)
+              val below = Integer.highestOneBit(math.max(1.0, minDegCorpus - 1).toInt)
+              val maxOk = szs.filter(_ < degThreshold).maxOption.getOrElse(1L).toInt
+              val atLeast = {
+                val h = Integer.highestOneBit(math.max(maxOk, 1))
+                if (h < maxOk) h * 2 else h
+              }
+              math.max(below, atLeast)
+            }
+          }
           // size-ratio survivors, UPPER-bounded by geometric size classes:
           // quantize n_sh at factor-(1/θ) boundaries — a pair ≥2 classes
           // apart has max/min > 1/θ and can never pass min ≥ θ·max, so
@@ -379,7 +426,7 @@ object BandTuner {
               coalesce(avg($"n_sh"), lit(0.0))).head
           val (sd, mean) = (statsRow.getDouble(0), statsRow.getDouble(1))
           (total, math.min(total, same + adjacent + sentKept),
-            if (mean > 0) sd / mean else 0.0)
+            if (mean > 0) sd / mean else 0.0, capSuggest)
         }
       val frac =
         if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
@@ -396,7 +443,8 @@ object BandTuner {
         predictedSpeedup = speedup,
         recommendBanded = speedup >= minSpeedup && recall >= recallFloor,
         cardCv = cv,
-        prefilterKeepFraction = if (mass <= 0.0) 1.0 else keepMass / mass)
+        prefilterKeepFraction = if (mass <= 0.0) 1.0 else keepMass / mass,
+        suggestedBucketCap = cap)
     } finally {
       sample.unpersist()
       ()

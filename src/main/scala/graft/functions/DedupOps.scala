@@ -250,13 +250,22 @@ object DedupOps extends QueryPack {
     * so plan dumps (DumpPlans) can show the signature/banding stages that
     * the checkpoint otherwise collapses to `Scan ExistingRDD`.
     *
-    * CAP-ON EXCEPTION to that laziness: with [[bucketCap]] > 0 the band
-    * stream is materialized by an INNER `localCheckpoint` at construction
-    * time — a deliberate trade (one signature pass instead of the four a
-    * lazy capped plan executes — PlanSpec pins it), so building this frame
-    * with the cap set runs a corpus job eagerly and a dump shows the
-    * capped subtree above `Scan ExistingRDD`. Dump plans with the cap
-    * unset (the default) to see the full lazy pipeline.
+    * CAP-ON NOTE: with [[bucketCap]] > 0 the band stream is routed through
+    * an INNER `localCheckpoint` so the cap's consumers (the sizes
+    * aggregation and both self-join legs) read one materialized stream
+    * instead of each embedding its own copy of the scan+signature subtree
+    * (measured 4 full passes; ReuseExchange did not unify them — PlanSpec
+    * pins the single-pass shape). The checkpoint is LAZY (round 13, r12
+    * advice #4): constructing this frame runs NO job — the first action
+    * materializes the band stream once and every later pass reads the
+    * persisted blocks. (On the very first action, AQE may submit the two
+    * leaf stages that share the stream concurrently, so a partition can be
+    * computed twice in that race — a bounded first-run cost, chosen over
+    * the eager form's construction-time corpus job, which made plan dumps,
+    * analysis-only tests, and A/B frame construction execute Spark jobs as
+    * a side effect.) A dump with the cap set shows the capped subtree
+    * above `Scan ExistingRDD`; dump with the cap unset (the default) to
+    * see the full lazy pipeline.
     */
   private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -285,17 +294,18 @@ object DedupOps extends QueryPack {
     val b = bandBuckets(sigs, bands, rows,
       carry = if (pf) Seq("n_sh") else Nil)
     // oversized-bucket drop ([[bucketCap]], off for the gate). The band
-    // stream is MATERIALIZED once (localCheckpoint) before the cap's
-    // consumers: without it, each self-join leg embeds its own copy of
-    // both the band stream and the (bb,count) aggregation — measured 4
-    // full scan+signature passes where one suffices (ReuseExchange did
-    // not unify the duplicated subtrees; the probe is pinned in
-    // PlanSpec). The materialized stream is bands × corpus rows of
-    // id-width longs — the same width the (band,bucket) shuffle already
-    // carries — and the cost is paid only when the dial is on.
+    // stream is MATERIALIZED once (lazy localCheckpoint — see the CAP-ON
+    // NOTE in the scaladoc) before the cap's consumers: without it, each
+    // self-join leg embeds its own copy of both the band stream and the
+    // (bb,count) aggregation — measured 4 full scan+signature passes
+    // where one suffices (ReuseExchange did not unify the duplicated
+    // subtrees; the probe is pinned in PlanSpec). The materialized stream
+    // is bands × corpus rows of id-width longs — the same width the
+    // (band,bucket) shuffle already carries — and the cost is paid only
+    // when the dial is on.
     val cap = bucketCap(spark)
     val bc = if (cap > 0) {
-      val bMat = b.localCheckpoint(true)
+      val bMat = b.localCheckpoint(false)
       val small = bMat.groupBy($"bb").agg(count(lit(1)).as("bkt_n"))
         .filter($"bkt_n" <= cap).select($"bb")
       bMat.join(small.hint("shuffle_hash"), Seq("bb"), "left_semi")

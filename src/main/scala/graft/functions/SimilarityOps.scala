@@ -101,6 +101,46 @@ object SimilarityOps extends QueryPack {
   private[graft] def prefilterOn(spark: SparkSession): Boolean =
     spark.conf.get("graft.sim.prefilter", "true").toBoolean
 
+  /** `graft.sim.bucketcap` (default 0 = off): before the candidate
+    * self-join, DROP every (table, bucket) group holding more than this
+    * many vectors — the embedding-side twin of `graft.dedup.bucketcap`
+    * (SCALE.md round 12 named it the symmetric hazard; round 13 measures
+    * it). The int8 prefilter cannot touch this mass: a hot bucket of
+    * near-IDENTICAL vectors (a thousand-fold-duplicated embedding, a
+    * zero-vector pile, a template artifact) passes any cosine bound BY
+    * VALUE, so its c(c−1)/2 pairs all reach the pair distinct and the
+    * float verify — quadratic in the duplication factor. Capping bounds
+    * candidate mass to O(corpus × cap).
+    *
+    * Semantics, stated honestly (the minhash dial's argument transposed):
+    * capping is LOSSY, which is why the gate leaves it off. A pair at
+    * cosine c collides per table with probability (1−θ/π)^planes, so a
+    * pair losing k of its colliding tables to the cap is still found
+    * through any surviving shared bucket — near-neighbor pairs that share
+    * ANY small bucket survive. What the cap removes outright is pairs ALL
+    * of whose shared buckets are degenerate — i.e. vectors whose
+    * similarity IS the mass duplication, which exact dedup upstream (or
+    * [[SimilarityOps.quantizeInt8]]-keyed grouping) handles cheaper than
+    * any pairwise route. ExactnessSpec pins both directions: a permissive
+    * cap is a no-op on the gate corpus, and the capped candidate set
+    * equals the independent pairs-sharing-a-small-bucket reference on a
+    * dense-duplicate corpus.
+    *
+    * PRECONDITION — corpus-matched band shape. Sign-LSH has only
+    * 2^planesPerTable buckets per table, so a cap below
+    * corpus / 2^planes puts EVERY bucket over the cap and silently
+    * empties the index (measured, SCALE.md round 13: 8×4 at 20k vectors
+    * with cap 512 → 0 candidates — every bucket held ~1250). The dial
+    * belongs with the shape rule SCALE.md round 6 already mandates
+    * (bucket count ≫ cluster count, via `graft.sim.bands.<key>` and
+    * [[graft.functions.BandTuner.suggest]]); on a matched shape the hot
+    * cluster still collapses into ONE bucket per table (near-identical
+    * vectors share every sign bit) while the background spreads, and the
+    * cap separates cleanly.
+    */
+  private[graft] def simBucketCap(spark: SparkSession): Int =
+    spark.conf.get("graft.sim.bucketcap", "0").toInt
+
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
     * least one (table, bucket) under `nTables` tables of `planesPerTable`
     * hyperplane sign bits each. The dial every LSH consumer turns:
@@ -172,6 +212,25 @@ object SimilarityOps extends QueryPack {
         posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
           .as(Seq("tbl", "bucket")): _*)
     val keys = Seq("tbl", "bucket") ++ within
+    // oversized-bucket drop ([[simBucketCap]], off for the gate) — the
+    // minhash dial's pattern transposed: one narrow (keys,count)
+    // aggregation + semi-join, with the bucketed stream materialized ONCE
+    // through a LAZY localCheckpoint so the cap's consumers (sizes agg,
+    // semi-join leg, both self-join sides, the probe route's base side)
+    // read persisted (tbl,bucket,id[,blob]) rows instead of each
+    // re-running the scan+lsh_buckets subtree (the minhash side measured
+    // 4 passes without the materialization; laziness keeps frame
+    // construction job-free, the r13 posture). The probe route's FLIPPED
+    // stream is left uncapped: its join partner is the capped base
+    // stream, so probe mass into a dropped bucket dies at the join and
+    // the output stays bounded by |flipped| × cap.
+    val cap = simBucketCap(spark)
+    val bucketedC = if (cap > 0) {
+      val bMat = bucketed.localCheckpoint(false)
+      val small = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
+        .filter($"bkt_n" <= cap).select(keys.map(col): _*)
+      bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
+    } else bucketed
     // int8_keep rejection runs in the self-join output stage, BEFORE any
     // pair reaches the distinct exchange — the filtered mass never shuffles
     def keepOf(df: DataFrame): DataFrame = theta match {
@@ -188,7 +247,7 @@ object SimilarityOps extends QueryPack {
     // sides. The unprefiltered path is left to the planner for
     // round-over-round comparability of the historical crossover numbers.
     def side(v: String, b: String): DataFrame = {
-      val s = bucketed.select(
+      val s = bucketedC.select(
         (keys.map(col) :+ $"vec_id".as(v)) ++
           (if (theta.isDefined) Seq($"blob".as(b)) else Nil): _*)
       if (theta.isDefined) s.hint("shuffle_hash") else s

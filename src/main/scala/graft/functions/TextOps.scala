@@ -486,12 +486,29 @@ object TextOps extends QueryPack {
         // checkpoint: the gram set feeds the count, the bloom build, and
         // the exact join — one computation, ContextCleaner-managed blocks
         val g = evalGrams.localCheckpoint(true)
-        val bf = g.stat.bloomFilter("shingle", math.max(g.count(), 1L), 0.01)
-        val mightContain = udf((s: String) => s != null && bf.mightContain(s))
-        // the filter is the outgrow path's whole point: it rides the scan
-        // stage, so the ~99% of corpus shingles that miss the eval set die
-        // before the (now possibly shuffled) exact join ever sees them
-        corpus.filter(mightContain($"shingle")).join(g, Seq("shingle"))
+        // the filter is built over xxhash64(gram) LONGS and probed by the
+        // native `bloom_probe` kernel (Spark's own BloomFilterMightContain
+        // under a registered name) — the probe stays inside the scan
+        // stage's whole-stage codegen instead of boxing every corpus
+        // shingle through a ScalaUDF (r12 verdict #3; this is the single
+        // hottest row stream in the engine when the knob is on). Hashing
+        // to 8-byte longs also shrinks the shipped filter input; the fpp
+        // budget is unchanged and false positives still die in the exact
+        // string join below, so correctness stays knob-independent
+        // (ExactnessSpec).
+        graft.plans.GraftFunctions.register(spark)
+        val bf = g.select(xxhash64($"shingle").as("h"))
+          .stat.bloomFilter("h", math.max(g.count(), 1L), 0.01)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        // the probe rides the scan stage: the ~99% of corpus shingles that
+        // miss the eval set die before the (now possibly shuffled) exact
+        // join ever sees them
+        corpus.filter(call_function("bloom_probe", lit(bytes), xxhash64($"shingle")))
+          .join(g, Seq("shingle"))
       }
     matched
       .distinct() // matched slice only — the full shingle stream never shuffles

@@ -127,6 +127,23 @@ object GraftFunctions {
         require(!theta.isNaN && !theta.isInfinite, s"int8_keep: theta must be finite, got $theta")
         Int8Keep(args.head, args(1), theta)
       }),
+    (FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_probe"),
+      (args: Seq[Expression]) => {
+        // membership probe against a serialized spark.util.sketch
+        // BloomFilter, evaluated INSIDE whole-stage codegen — Spark's own
+        // BloomFilterMightContain (the expression its injected runtime
+        // filters compile to), surfaced under a registered name so the
+        // decontamination outgrow path's scan-stage probe is a native
+        // Predicate instead of a ScalaUDF (r12 verdict #3: the UDF boxed
+        // the string and broke codegen at the hottest filter in the
+        // engine). args: (serialized-filter BINARY literal, xxhash64 long)
+        require(args.length == 2, "bloom_probe takes (filter_bytes, long_value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))
+      }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
       (args: Seq[Expression]) => {

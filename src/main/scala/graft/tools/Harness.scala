@@ -213,6 +213,51 @@ object Corpora {
     dir
   }
 
+  /** Dense-duplicate vector corpus — the embedding-side boilerplate
+    * analogue (round 13; SCALE.md round 12 named it the symmetric
+    * hazard): `hotFrac` of the n vectors are near-identical copies of ONE
+    * unit center (σ=0.001 ⇒ pairwise cosine ≈ 1, far above any θ, so the
+    * int8 prefilter keeps every hot pair BY VALUE), a `GenuineFrac` slice
+    * sits in ordinary [[ClusterSize]]-vector clusters (σ=0.025, the
+    * `generate` recipe — the planted TRUE near-dups whose survival the
+    * cap must not cost), and the rest is uniform background. Every LSH
+    * table puts the whole hot cluster in one bucket, so uncapped
+    * candidate mass grows as (hotFrac·n)² — the quadratic hazard
+    * `graft.sim.bucketcap` bounds — while the genuine clusters land in
+    * small buckets the cap keeps.
+    */
+  val GenuineFrac = 0.3
+  def generateDenseDupVectors(spark: SparkSession, n: Int, hotFrac: Double = 0.2,
+      seed: Int = 23): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat).toSeq
+    }
+    val nHot = (n * hotFrac).toInt
+    val nGen = (n * GenuineFrac).toInt
+    val hotCenter = unit(Array.fill(Dim)(rnd.nextGaussian())).map(_.toDouble).toArray
+    val nClusters = math.max(1, nGen / ClusterSize)
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(Dim)(rnd.nextGaussian())).map(_.toDouble).toArray)
+    // driver-side generation is model-state scale (~26 MB at 100k×64), the
+    // generate() precedent
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i < nHot)
+          Array.tabulate(Dim)(j => hotCenter(j) + 0.001 * rnd.nextGaussian())
+        else if (i < nHot + nGen)
+          Array.tabulate(Dim)(j => centers(i % nClusters)(j) + Sigma * rnd.nextGaussian())
+        else Array.fill(Dim)(rnd.nextGaussian())
+      (i.toLong, unit(v), i % NLabels)
+    }
+    val dir = s"/tmp/graft_densedup/n${n}_hot${math.round(hotFrac * 100)}"
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   /** Decontamination stress corpus: 5 LARGE eval documents (`evalTokens`
     * tokens each — the regime where the eval-gram set strains the
     * broadcast budget) plus n 200-token corpus docs from a DISJOINT
@@ -328,6 +373,7 @@ object ShuffleMeter {
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n|dir:<path>] [shape] [bucketcap]` — string vs hash shingle keys in the jaccard verify
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
+  *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full]` — embedding-side bucket cap A/B
   *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
@@ -357,6 +403,7 @@ object Harness {
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n|dir:<path>] [shape] [bucketcap] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
+    ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full] — embedding-side bucket cap on the dense-dup corpus", simBucketcap),
     ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
@@ -768,6 +815,68 @@ object Harness {
       println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap full[$mode%-11s] " +
         f"min=$t%.2fs verify-share=${t - tCand}%.2fs verifiedPairs=$nPairs " +
         f"shuffle read=${mb(r)} write=${mb(w)}")
+    }
+    spark.stop()
+  }
+
+  /** Round 13 (r12 verdict #2): measure the embedding-side quadratic
+    * bucket and the `graft.sim.bucketcap` dial on the dense-duplicate
+    * corpus ([[Corpora.generateDenseDupVectors]]). For each size: the
+    * UNCAPPED banded candidate count (total + the slice among the planted
+    * GENUINE clusters — the recall mass the cap must not cost), the
+    * capped counts, and the capped `dedup_embedding_cosine` wall; the
+    * uncapped full dedup (float-verify over the quadratic mass — the
+    * JVM-killing leg at scale, by the minhash precedent) only runs when
+    * the last arg is `full`. Genuine-slice equality capped ≡ uncapped is
+    * the zero-recall-loss evidence: genuine clusters live in ~50-vector
+    * buckets far below any sane cap.
+    */
+  private def simBucketcap(args: Array[String]): Unit = {
+    val spark = Session.local(32, "sim-bucketcap")
+    import spark.implicits._
+    val sizes = args.headOption.map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(20000, 50000))
+    val hotFrac = args.lift(1).map(_.toDouble).getOrElse(0.2)
+    val cap = args.lift(2).map(_.toInt).getOrElse(512)
+    val runFull = args.lift(3).contains("full")
+    // CORPUS-MATCHED shape (arg 4, default 8x10 = 1024 buckets/table):
+    // the cap presumes bucket count ≫ corpus/cap — at the gate's 8×4
+    // there are only 2⁴ buckets per table, so past ~cap×16 vectors EVERY
+    // bucket is over-cap and the index empties (measured: candidates=0
+    // at 20k docs, cap 512, 8×4). That is SCALE.md round 6's "bucket
+    // count must exceed cluster count" rule biting the cap dial too;
+    // BandTuner.suggest picks the matched shape a deployment would run.
+    val shape = args.lift(4).getOrElse("8x10")
+    val (tables, planes) = (shape.split("x")(0).toInt, shape.split("x")(1).toInt)
+    spark.conf.set("graft.sim.exact", "false")
+    spark.conf.set("graft.sim.bands.cosdedup", shape)
+    for (n <- sizes) {
+      val dir = Corpora.generateDenseDupVectors(spark, n, hotFrac)
+      val (gLo, gHi) = ((n * hotFrac).toLong, (n * hotFrac).toLong + (n * Corpora.GenuineFrac).toLong)
+      def counts(): (Long, Long) = {
+        // the cosdedup route's exact candidate shape (θ=0.9 int8
+        // prefilter), counted without the float verify so the uncapped
+        // quadratic mass is measurable without the JVM-killing join
+        val c = SimilarityOps.lshCandidateIds(spark, dir, nTables = tables,
+          planesPerTable = planes, prefilterTheta = Some(DedupOps.CosDedupThreshold))
+        val r = c.agg(count(lit(1)),
+          count(when($"v1" >= gLo && $"v1" < gHi && $"v2" >= gLo && $"v2" < gHi, 1))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      def dedupWall(label: String): Unit = {
+        val t = Corpora.timed(2)(noop(DedupOps.embeddingCosineDedup(spark, dir)))
+        println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape $label dedup wall min=$t%.2fs")
+      }
+      spark.conf.unset("graft.sim.bucketcap")
+      val (allU, genU) = counts()
+      println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off candidates=$allU%,12d genuine=$genU%,9d")
+      if (runFull) dedupWall("cap=off")
+      spark.conf.set("graft.sim.bucketcap", cap.toString)
+      val (allC, genC) = counts()
+      println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=$cap candidates=$allC%,12d genuine=$genC%,9d " +
+        f"genuineKept=${if (genU == 0) 1.0 else genC.toDouble / genU}%.4f")
+      dedupWall(s"cap=$cap")
+      spark.conf.unset("graft.sim.bucketcap")
     }
     spark.stop()
   }

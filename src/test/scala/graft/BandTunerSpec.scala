@@ -95,6 +95,29 @@ class BandTunerSpec extends SparkSpec {
       s"gate must have less killable mass: gate=$gate boiler=$boiler")
   }
 
+  test("bucket-cap suggestion: boilerplate corpus yields a cap in the measured dial's decade") {
+    // r12 verdict #4: the advisor must name a VALUE for
+    // graft.dedup.bucketcap, not just point at the dial. On the 20k-doc
+    // boilerplate corpus — the exact corpus/shape of SCALE.md round 12's
+    // measured table, where cap=512 verified every planted pair with the
+    // quadratic mass excised — the suggestion must be finite and within
+    // an order of magnitude of that validated dial (the default 10k
+    // sample prices half the corpus; the n/s scaling covers the rest).
+    val dir = Corpora.generateBoilerplateDocs(spark, 20000)
+    val a = BandTuner.suggestMinhash(spark, dir, jaccard = 0.5)
+    info(s"boiler 20k: $a")
+    assert(a.suggestedBucketCap > 0, s"expected a cap on the boilerplate corpus: $a")
+    assert(a.suggestedBucketCap >= 52 && a.suggestedBucketCap <= 5120,
+      s"suggestion must be within an order of magnitude of the measured 512: $a")
+    // clean corpus control: no degenerate buckets → no cap suggested (the
+    // dial is an excision tool, not a default posture)
+    val clean = BandTuner.suggestMinhash(spark, Corpora.generateDocs(spark, 2000),
+      jaccard = 0.5)
+    info(s"clean 2k: $clean")
+    assert(clean.suggestedBucketCap == 0,
+      s"a corpus without degenerate buckets must not suggest a cap: $clean")
+  }
+
   test("over-cap sentinel docs price as always-kept, not as a size class") {
     // a doc past CardCapShingles carries n_sh = CardUnknown (0); the
     // deployed prefilter passes such rows through unconditionally, so the

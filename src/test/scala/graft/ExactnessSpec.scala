@@ -281,6 +281,61 @@ class ExactnessSpec extends SparkSpec {
     }
   }
 
+  test("embedding bucket cap: a permissive cap is a no-op on the gate corpus") {
+    // graft.sim.bucketcap is the embedding-side twin of the minhash dial
+    // (round 13); with the cap above every gate bucket size the banded
+    // dedup must change nothing — canonicals, counts, ordering
+    val uncapped = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir)))
+    spark.conf.set("graft.sim.bucketcap", "1000000")
+    try {
+      val capped = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir)))
+      assert(uncapped.nonEmpty && capped == uncapped,
+        s"missing=${uncapped.toSet -- capped.toSet} spurious=${capped.toSet -- uncapped.toSet}")
+    } finally spark.conf.unset("graft.sim.bucketcap")
+  }
+
+  test("embedding bucket cap: capped candidates ≡ the pairs-sharing-a-small-bucket reference") {
+    // independent reference, mirroring the minhash pin: recompute each
+    // vector's (table, bucket) memberships straight from the lsh_buckets
+    // kernel, group on the driver, and enumerate pairs — a pair survives
+    // the cap iff SOME bucket both vectors share holds ≤ cap vectors.
+    // Prefilter off so the reference is purely banding + cap semantics;
+    // the dense-dup corpus plants a 200-vector hot cluster (every table
+    // puts it in one over-cap bucket) next to 50-vector genuine clusters
+    // the cap must keep.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val dir = tools.Corpora.generateDenseDupVectors(spark, 1000)
+    val (tables, planes) = (8, 4)
+    val cap = 64
+    def pairsOf: Set[(Long, Long)] = SimilarityOps.lshCandidateIds(
+        spark, dir, nTables = tables, planesPerTable = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val uncapped = pairsOf
+      spark.conf.set("graft.sim.bucketcap", cap.toString)
+      val capped = pairsOf
+      val membership = graft.core.Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode(
+          expr(s"lsh_buckets(embedding, $tables, $planes)")).as(Seq("tbl", "bucket")))
+        .select($"vec_id", concat_ws(":", $"tbl", $"bucket").as("bk"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+      def pairsFrom(buckets: Iterable[Seq[Long]]): Set[(Long, Long)] =
+        buckets.flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b)).toSet
+      assert(uncapped == pairsFrom(membership.values),
+        "reference banding disagrees with the candidate route")
+      val expected = pairsFrom(membership.values.filter(_.size <= cap))
+      assert(capped == expected,
+        s"missing=${(expected -- capped).take(5)} spurious=${(capped -- expected).take(5)}")
+      val maxBucket = membership.values.map(_.size).max
+      assert(capped.size < uncapped.size,
+        s"cap=$cap never bit: ${uncapped.size} pairs uncapped vs " +
+          s"${capped.size} capped, max bucket $maxBucket vectors")
+    } finally spark.conf.unset("graft.sim.bucketcap")
+  }
+
   test("text_decontaminate: bloom-prefiltered path ≡ broadcast path (corpus_select too)") {
     // the bloom is a may-contain prefilter ahead of an exact join, so
     // false positives are re-verified and false negatives don't exist —

@@ -54,22 +54,30 @@ class HofBindingSpec extends SparkSpec {
   }
 
   test("no registered query recomputes a string expression inside a HOF lambda") {
+    // BOTH the analyzed and the optimized plan are swept (round 13, r12
+    // advice #2): binding an array as a column is an analyzed-plan
+    // property that the optimizer can UNDO — CollapseProject happily
+    // re-inlines a single-use projected column into the lambda body,
+    // which would reintroduce the O(tokens²) evaluation while an
+    // analyzed-only guard stays green. The optimized plan is the one
+    // that executes, so it is the one that must be clean.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.analyzed
+      val qe = fn(spark, sfDir).queryExecution
       val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-      plan.foreach { node =>
-        node.expressions.foreach(_.foreach {
-          case hof: HigherOrderFunction =>
-            hof.functions.foreach { f =>
-              val hits = f.collect { case e if rebuildsFromAttr(e) => e }
-              if (hits.nonEmpty)
-                bad += s"$name: ${hits.head.getClass.getSimpleName} over a row " +
-                  s"attribute inside ${hof.prettyName}'s lambda — bind the array " +
-                  s"as a column first (quadratic-eval hazard, see TextOps.bigramsOf)"
-            }
-          case _ =>
-        })
-      }
+      for ((tag, plan) <- Seq("analyzed" -> qe.analyzed, "optimized" -> qe.optimizedPlan))
+        plan.foreach { node =>
+          node.expressions.foreach(_.foreach {
+            case hof: HigherOrderFunction =>
+              hof.functions.foreach { f =>
+                val hits = f.collect { case e if rebuildsFromAttr(e) => e }
+                if (hits.nonEmpty)
+                  bad += s"$name [$tag]: ${hits.head.getClass.getSimpleName} over a row " +
+                    s"attribute inside ${hof.prettyName}'s lambda — bind the array " +
+                    s"as a column first (quadratic-eval hazard, see TextOps.bigramsOf)"
+              }
+            case _ =>
+          })
+        }
       bad.distinct
     }
     assert(offenders.isEmpty, offenders.mkString("\n", "\n", ""))

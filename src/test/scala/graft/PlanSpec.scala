@@ -227,19 +227,42 @@ class PlanSpec extends SparkSpec {
     // the corpus-side scan stage, so misses die before the (possibly
     // shuffled) exact join's exchange. A refactor that hoists it above
     // the join (or drops the exact join after it) fails here.
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    // round 13: the probe is the native BloomFilterMightContain predicate
+    // (bloom_probe), not a ScalaUDF — the pin now also guards against a
+    // regression back to the codegen-breaking UDF form
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
     spark.conf.set("graft.text.decontam.bloom", "true")
     try {
       val df = graft.functions.TextOps.decontaminate(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan
       def bloomBelow(p: LogicalPlan): Boolean = p.collectFirst {
-        case f: Filter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+        case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
       }.nonEmpty
       val joins = plan.collect { case j: Join => j }
       assert(joins.exists(j => j.children.exists(bloomBelow)),
         s"no might-contain filter below a join:\n$plan")
+      assert(plan.collectFirst {
+        case f: Filter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+      }.isEmpty, s"the bloom probe regressed to a ScalaUDF:\n$plan")
     } finally spark.conf.unset("graft.text.decontam.bloom")
+  }
+
+  test("embedding bucket cap: one bucketing pass — the capped candidate plan rescans nothing") {
+    // the embedding-side twin of the minhash one-pass pin below: with
+    // graft.sim.bucketcap set, every consumer of the bucketed stream
+    // (sizes agg, cap semi-join, both self-join legs) must read the ONE
+    // materialized (tbl,bucket,id,blob) stream — no scan+lsh_buckets
+    // subtree may be duplicated into the plan
+    spark.conf.set("graft.sim.bucketcap", "64")
+    try {
+      val plan = planOf(graft.functions.SimilarityOps.lshCandidateIds(
+        spark, sfDir, nTables = 8, planesPerTable = 4,
+        prefilterTheta = Some(0.9)))
+      assert(!plan.contains("Scan parquet"),
+        s"capped embedding candidate plan rescans the corpus:\n$plan")
+      assert(plan.contains("LeftSemi"), s"cap semi-join missing:\n$plan")
+    } finally spark.conf.unset("graft.sim.bucketcap")
   }
 
   test("bucket cap: one signature pass — the capped candidate plan rescans nothing") {

@@ -32,9 +32,11 @@ echo "== gate: Verify sf$SF"
 # OOM) must leave nothing behind for the summary check and oracle compare
 # to read, or a stale green run would pass the gate silently.
 rm -rf "$OUT"
-# Verify exits nonzero on any query failure (unconditional since round
-# 11; the env var is gone). The summary-file re-check below is still the
-# gate's real guard because the grep pipeline swallows exit status.
+# Verify exits nonzero on any query failure (default since round 11;
+# the SPARK_GRAFT_VERIFY_EXIT0=1 escape hatch is driver-facing and
+# nothing here sets it — VerifyExitSpec pins both branches). The
+# summary-file re-check below is still the gate's real guard because
+# the grep pipeline swallows exit status.
 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
   | grep -E '\[verify' || true
 # The grep pipeline swallows sbt's exit status; re-check the summary file
