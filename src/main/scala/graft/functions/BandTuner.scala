@@ -57,14 +57,22 @@ final case class BandShapeAdvice(
       * bucket-size distribution shows no degenerate buckets (no cap
       * needed). Chosen as the LARGEST power of two strictly below the
       * smallest DEGENERATE bucket scaled to the corpus — degenerate =
-      * holding ≥1% of sampled docs (boilerplate-driven buckets scale with
-      * corpus size; genuine near-dup clusters are absolute-sized, so the
-      * two populations separate) — and floored above the largest
-      * non-degenerate bucket observed. That keeps 100% of the sampled
-      * non-degenerate mass (every band collision of every sampled genuine
-      * pair survives — zero recall loss on the sampled structure, the r12
-      * measured-table property) while excising every degenerate bucket:
-      * the least lossy cap that still removes the quadratic mass. */
+      * holding ≥ max(16, 1% of sampled docs) docs (boilerplate-driven
+      * buckets hold a constant corpus FRACTION so they scale with n;
+      * genuine near-dup clusters are absolute-sized, so the populations
+      * separate; the 16-doc floor keeps tiny samples from classing
+      * ordinary dup clusters as degenerate) — and floored above the
+      * largest non-degenerate bucket observed. That keeps 100% of the
+      * sampled non-degenerate mass (every band collision of every sampled
+      * genuine pair survives — zero recall loss on the sampled structure,
+      * the r12 measured-table property) while excising every degenerate
+      * bucket: the least lossy cap that still removes the quadratic mass.
+      * TIE-BREAK when the populations overlap (largest non-degenerate ≥
+      * smallest degenerate after n/s scaling): recall wins — the
+      * suggestion keeps every non-degenerate bucket even though
+      * degenerate sizes up to it then survive the cap. A corpus in that
+      * regime has no cap that separates cleanly at this shape; sharpen
+      * the shape (more rows per band) before capping. */
     suggestedBucketCap: Int = 0) {
   /** The `graft.sim.bands.<key>` value this advice corresponds to. */
   def shape: String = s"${nTables}x$planesPerTable"
@@ -381,6 +389,10 @@ object BandTuner {
                 val h = Integer.highestOneBit(math.max(maxOk, 1))
                 if (h < maxOk) h * 2 else h
               }
+              // atLeast > below means the populations overlap: recall
+              // wins the tie (the field's documented contract) — the
+              // overlapping degenerate sizes then survive, and the
+              // advice is "sharpen the shape", not "trust this cap"
               math.max(below, atLeast)
             }
           }

@@ -220,10 +220,15 @@ object SimilarityOps extends QueryPack {
     // read persisted (tbl,bucket,id[,blob]) rows instead of each
     // re-running the scan+lsh_buckets subtree (the minhash side measured
     // 4 passes without the materialization; laziness keeps frame
-    // construction job-free, the r13 posture). The probe route's FLIPPED
-    // stream is left uncapped: its join partner is the capped base
-    // stream, so probe mass into a dropped bucket dies at the join and
-    // the output stays bounded by |flipped| × cap.
+    // construction job-free, the r13 posture). Block lifetime: released
+    // by the ContextCleaner once the returned frame is unreferenced —
+    // the one-checkpoint-per-query posture every candidate-path
+    // checkpoint here uses (unlike starComponents' per-ROUND checkpoints,
+    // which a single call accumulates and therefore unpersists
+    // deterministically). The probe route's FLIPPED stream is left
+    // uncapped: its join partner is the capped base stream, so probe
+    // mass into a dropped bucket dies at the join and the output stays
+    // bounded by |flipped| × cap.
     val cap = simBucketCap(spark)
     val bucketedC = if (cap > 0) {
       val bMat = bucketed.localCheckpoint(false)

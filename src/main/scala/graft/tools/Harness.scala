@@ -81,21 +81,30 @@ object Corpora {
     * case; production near-dup corpora look like THIS, which is where the
     * banded routes must win (SCALE.md rounds 5–8).
     */
+  /** L2-normalize to unit length, emitted as the Float embedding payload —
+    * the one normalizer every vector generator shares (a diverging copy
+    * would silently fork the corpus recipe).
+    */
+  private def unit(v: Array[Double]): Seq[Float] = {
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / nrm).toFloat).toSeq
+  }
+
+  /** A fresh random unit vector — the cluster-center / background draw. */
+  private def randUnit(rnd: scala.util.Random): Seq[Float] =
+    unit(Array.fill(Dim)(rnd.nextGaussian()))
+
   def generate(spark: SparkSession, n: Int, seed: Int = 7): String = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    def unit(v: Array[Double]): Seq[Float] = {
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat).toSeq
-    }
     val nClusters = math.max(1, n / ClusterSize)
-    val centers = Array.fill(nClusters)(unit(Array.fill(Dim)(rnd.nextGaussian())))
+    val centers = Array.fill(nClusters)(randUnit(rnd))
     val nBg = (n * BgFrac).toInt
     // driver-side generation: 100k × 64 floats is model-state scale (~26 MB);
     // a real 100 TB corpus arrives as data, it isn't synthesized
     val rows = (0 until n).map { i =>
       if (i < nBg)
-        (i.toLong, unit(Array.fill(Dim)(rnd.nextGaussian())), rnd.nextInt(NLabels))
+        (i.toLong, randUnit(rnd), rnd.nextInt(NLabels))
       else {
         val c = i % nClusters
         val v = Array.tabulate(Dim)(j => centers(c)(j) + Sigma * rnd.nextGaussian())
@@ -231,16 +240,13 @@ object Corpora {
       seed: Int = 23): String = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    def unit(v: Array[Double]): Seq[Float] = {
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat).toSeq
-    }
     val nHot = (n * hotFrac).toInt
     val nGen = (n * GenuineFrac).toInt
-    val hotCenter = unit(Array.fill(Dim)(rnd.nextGaussian())).map(_.toDouble).toArray
+    // centers via the shared [[randUnit]] draw (Float-quantized like every
+    // stored embedding; the perturbations below widen to Double implicitly)
+    val hotCenter = randUnit(rnd)
     val nClusters = math.max(1, nGen / ClusterSize)
-    val centers = Array.fill(nClusters)(
-      unit(Array.fill(Dim)(rnd.nextGaussian())).map(_.toDouble).toArray)
+    val centers = Array.fill(nClusters)(randUnit(rnd))
     // driver-side generation is model-state scale (~26 MB at 100k×64), the
     // generate() precedent
     val rows = (0 until n).map { i =>
@@ -373,7 +379,7 @@ object ShuffleMeter {
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n|dir:<path>] [shape] [bucketcap]` — string vs hash shingle keys in the jaccard verify
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
-  *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full]` — embedding-side bucket cap A/B
+  *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full] [shape]` — embedding-side bucket cap A/B
   *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
@@ -403,7 +409,7 @@ object Harness {
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n|dir:<path>] [shape] [bucketcap] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
-    ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full] — embedding-side bucket cap on the dense-dup corpus", simBucketcap),
+    ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full] [shape] — embedding-side bucket cap on the dense-dup corpus (shape default 8x10; MUST be corpus-matched or the cap empties the index)", simBucketcap),
     ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
