@@ -58,11 +58,15 @@ final case class BandShapeAdvice(
       * needed). Chosen as the LARGEST power of two strictly below the
       * smallest DEGENERATE bucket scaled to the corpus — degenerate =
       * holding ≥ max(16, 1% of sampled docs) docs (boilerplate-driven
-      * buckets hold a constant corpus FRACTION so they scale with n;
-      * genuine near-dup clusters are absolute-sized, so the populations
-      * separate; the 16-doc floor keeps tiny samples from classing
-      * ordinary dup clusters as degenerate) — and floored above the
-      * largest non-degenerate bucket observed. That keeps 100% of the
+      * buckets hold a constant corpus FRACTION so the 1%-of-sample
+      * threshold classifies them scale-free; genuine near-dup clusters
+      * are absolute-sized, so at any real corpus/sample ratio the
+      * populations separate; the 16-doc floor keeps tiny samples from
+      * classing ordinary dup clusters as degenerate) — and floored above
+      * the largest non-degenerate bucket, ALSO scaled to the corpus
+      * (every observed bucket is a uniform s/n thinning of its corpus
+      * bucket, so observed sizes in BOTH populations read × n/s at
+      * corpus scale). That keeps 100% of the
       * sampled non-degenerate mass (every band collision of every sampled
       * genuine pair survives — zero recall loss on the sampled structure,
       * the r12 measured-table property) while excising every degenerate
@@ -279,6 +283,42 @@ object BandTuner {
     1.0 - math.pow(1.0 - math.pow(j, rows), bands)
   }
 
+  /** The [[BandShapeAdvice.suggestedBucketCap]] rule as a pure function
+    * of the sampled distinct bucket sizes `szs`, sample size `s`, and
+    * corpus size `n` (the field's scaladoc carries the recall argument).
+    * Extracted so the scaling arithmetic is unit-testable: the round-13
+    * review caught the non-degenerate floor using SAMPLE units while the
+    * degenerate bound used corpus units — at n/s = 10 a genuine 900-doc
+    * cluster sampled at 90 read as "keep ≥ 128" and the suggested cap
+    * excised it. EVERY observed bucket is a uniform s/n thinning of its
+    * corpus bucket, so observed sizes in BOTH populations read × n/s at
+    * corpus scale; only the degenerate CLASSIFICATION is scale-free (a
+    * corpus-fraction bucket samples to the same fraction; the 16-doc
+    * floor guards binomial noise at tiny samples).
+    */
+  private[graft] def suggestCapFrom(szs: Array[Long], s: Long, n: Long): Int = {
+    val degThreshold = math.max(16L, math.ceil(0.01 * s).toLong)
+    val deg = szs.filter(_ >= degThreshold)
+    if (deg.isEmpty) 0
+    else {
+      val scale = math.max(1.0, n.toDouble / s)
+      val minDegCorpus = math.min(deg.min * scale, Int.MaxValue.toDouble)
+      val below = Integer.highestOneBit(math.max(1.0, minDegCorpus - 1).toInt)
+      val maxOk = math.min(
+        math.ceil(szs.filter(_ < degThreshold).maxOption.getOrElse(1L) * scale),
+        Int.MaxValue.toDouble).toInt
+      val atLeast = {
+        val h = Integer.highestOneBit(math.max(maxOk, 1))
+        if (h < maxOk) h * 2 else h
+      }
+      // atLeast > below means the populations overlap: recall wins the
+      // tie (the field's documented contract) — the overlapping
+      // degenerate sizes then survive, and the advice is "sharpen the
+      // shape", not "trust this cap"
+      math.max(below, atLeast)
+    }
+  }
+
   /** Advise a MinHash band shape (`graft.sim.bands.minhash` value) for a
     * document corpus: the sharpest rows-per-band meeting `recallFloor` at
     * Jaccard `jaccard` within `hashBudget` total min-hashes, priced by
@@ -372,30 +412,7 @@ object BandTuner {
           // argument). Distinct sizes are model state (≤ a few hundred
           // values at any sample size).
           val szs = sizes.select($"c").distinct().collect().map(_.getLong(0))
-          val degThreshold = math.max(16L, math.ceil(0.01 * s).toLong)
-          val capSuggest = {
-            val deg = szs.filter(_ >= degThreshold)
-            if (deg.isEmpty) 0
-            else {
-              // degenerate buckets scale with corpus size (a constant
-              // FRACTION of docs shares the banner minima), so the sample
-              // size scales up by n/s; non-degenerate buckets are
-              // absolute-sized and stay unscaled
-              val scale = math.max(1.0, n.toDouble / s)
-              val minDegCorpus = math.min(deg.min * scale, Int.MaxValue.toDouble)
-              val below = Integer.highestOneBit(math.max(1.0, minDegCorpus - 1).toInt)
-              val maxOk = szs.filter(_ < degThreshold).maxOption.getOrElse(1L).toInt
-              val atLeast = {
-                val h = Integer.highestOneBit(math.max(maxOk, 1))
-                if (h < maxOk) h * 2 else h
-              }
-              // atLeast > below means the populations overlap: recall
-              // wins the tie (the field's documented contract) — the
-              // overlapping degenerate sizes then survive, and the
-              // advice is "sharpen the shape", not "trust this cap"
-              math.max(below, atLeast)
-            }
-          }
+          val capSuggest = suggestCapFrom(szs, s, n)
           // size-ratio survivors, UPPER-bounded by geometric size classes:
           // quantize n_sh at factor-(1/θ) boundaries — a pair ≥2 classes
           // apart has max/min > 1/θ and can never pass min ≥ θ·max, so

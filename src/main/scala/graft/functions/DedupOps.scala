@@ -304,12 +304,7 @@ object DedupOps extends QueryPack {
     // (band,bucket) shuffle already carries — and the cost is paid only
     // when the dial is on.
     val cap = bucketCap(spark)
-    val bc = if (cap > 0) {
-      val bMat = b.localCheckpoint(false)
-      val small = bMat.groupBy($"bb").agg(count(lit(1)).as("bkt_n"))
-        .filter($"bkt_n" <= cap).select($"bb")
-      bMat.join(small.hint("shuffle_hash"), Seq("bb"), "left_semi")
-    } else b
+    val bc = if (cap > 0) dropOversizedBuckets(b, Seq("bb"), cap) else b
     def side(d: String, ns: String): DataFrame =
       bc.select($"bb" +: $"doc_id".as(d) +:
         (if (pf) Seq($"n_sh".as(ns)) else Nil): _*).hint("shuffle_hash")
@@ -355,6 +350,28 @@ object DedupOps extends QueryPack {
     */
   private[graft] def bucketCap(spark: SparkSession): Int =
     spark.conf.get("graft.dedup.bucketcap", "0").toInt
+
+  /** The oversized-bucket drop behind BOTH cap dials
+    * (`graft.dedup.bucketcap` here, `graft.sim.bucketcap` in
+    * [[SimilarityOps.lshCandidateIds]]) — one implementation so the two
+    * cannot silently diverge (round-13 review). The bucketed stream is
+    * materialized ONCE through a LAZY `localCheckpoint` so the cap's
+    * consumers (the sizes aggregation, the semi-join leg, and every
+    * self-join side downstream) read persisted rows instead of each
+    * re-running the scan+signature subtree (measured 4 passes without
+    * it); laziness keeps frame CONSTRUCTION job-free, and the blocks are
+    * ContextCleaner-released once the returned frame is unreferenced.
+    * `shuffle_hash` on the (keys,count) side: it is strictly smaller
+    * than the stream it filters, but corpus-proportional — broadcast is
+    * never the scale-correct strategy for it. Callers gate on cap > 0.
+    */
+  private[functions] def dropOversizedBuckets(
+      bucketed: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val bMat = bucketed.localCheckpoint(false)
+    val small = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") <= cap).select(keys.map(col): _*)
+    bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
+  }
 
   /** `graft.dedup.hashverify` (default on): carry 8-byte xxhash64 shingle
     * keys instead of shingle STRINGS through the verify stage's shuffles

@@ -212,30 +212,18 @@ object SimilarityOps extends QueryPack {
         posexplode(expr(s"lsh_buckets(embedding, $nTables, $planesPerTable)"))
           .as(Seq("tbl", "bucket")): _*)
     val keys = Seq("tbl", "bucket") ++ within
-    // oversized-bucket drop ([[simBucketCap]], off for the gate) — the
-    // minhash dial's pattern transposed: one narrow (keys,count)
-    // aggregation + semi-join, with the bucketed stream materialized ONCE
-    // through a LAZY localCheckpoint so the cap's consumers (sizes agg,
-    // semi-join leg, both self-join sides, the probe route's base side)
-    // read persisted (tbl,bucket,id[,blob]) rows instead of each
-    // re-running the scan+lsh_buckets subtree (the minhash side measured
-    // 4 passes without the materialization; laziness keeps frame
-    // construction job-free, the r13 posture). Block lifetime: released
-    // by the ContextCleaner once the returned frame is unreferenced —
-    // the one-checkpoint-per-query posture every candidate-path
-    // checkpoint here uses (unlike starComponents' per-ROUND checkpoints,
-    // which a single call accumulates and therefore unpersists
-    // deterministically). The probe route's FLIPPED stream is left
+    // oversized-bucket drop ([[simBucketCap]], off for the gate): the
+    // shared [[DedupOps.dropOversizedBuckets]] helper — the minhash
+    // dial's implementation, one place so the dials cannot diverge (see
+    // its scaladoc for the materialize-once/lazy-checkpoint posture and
+    // block lifetime). The probe route's FLIPPED stream is left
     // uncapped: its join partner is the capped base stream, so probe
     // mass into a dropped bucket dies at the join and the output stays
     // bounded by |flipped| × cap.
     val cap = simBucketCap(spark)
-    val bucketedC = if (cap > 0) {
-      val bMat = bucketed.localCheckpoint(false)
-      val small = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
-        .filter($"bkt_n" <= cap).select(keys.map(col): _*)
-      bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
-    } else bucketed
+    val bucketedC =
+      if (cap > 0) DedupOps.dropOversizedBuckets(bucketed, keys, cap)
+      else bucketed
     // int8_keep rejection runs in the self-join output stage, BEFORE any
     // pair reaches the distinct exchange — the filtered mass never shuffles
     def keepOf(df: DataFrame): DataFrame = theta match {

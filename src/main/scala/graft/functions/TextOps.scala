@@ -487,10 +487,12 @@ object TextOps extends QueryPack {
         // the exact join — one computation, ContextCleaner-managed blocks
         val g = evalGrams.localCheckpoint(true)
         // the filter is built over xxhash64(gram) LONGS and probed by the
-        // native `bloom_probe` kernel (Spark's own BloomFilterMightContain
-        // under a registered name) — the probe stays inside the scan
-        // stage's whole-stage codegen instead of boxing every corpus
-        // shingle through a ScalaUDF (r12 verdict #3; this is the single
+        // native `bloom_probe` kernel (graft.expr.BloomProbe — Spark's
+        // BloomFilterMightContain semantics with the filter as a compact
+        // expression FIELD, so plan strings don't render the filter as
+        // megabytes of hex) — the probe stays inside the scan stage's
+        // whole-stage codegen instead of boxing every corpus shingle
+        // through a ScalaUDF (r12 verdict #3; this is the single
         // hottest row stream in the engine when the knob is on). Hashing
         // to 8-byte longs also shrinks the shipped filter input; the fpp
         // budget is unchanged and false positives still die in the exact

@@ -128,21 +128,26 @@ object GraftFunctions {
         Int8Keep(args.head, args(1), theta)
       }),
     (FunctionIdentifier("bloom_probe"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "bloom_probe"),
+      new ExpressionInfo(classOf[graft.expr.BloomProbe].getName, "bloom_probe"),
       (args: Seq[Expression]) => {
         // membership probe against a serialized spark.util.sketch
-        // BloomFilter, evaluated INSIDE whole-stage codegen — Spark's own
-        // BloomFilterMightContain (the expression its injected runtime
-        // filters compile to), surfaced under a registered name so the
-        // decontamination outgrow path's scan-stage probe is a native
+        // BloomFilter, evaluated INSIDE whole-stage codegen — the
+        // decontamination outgrow path's scan-stage probe as a native
         // Predicate instead of a ScalaUDF (r12 verdict #3: the UDF boxed
         // the string and broke codegen at the hottest filter in the
-        // engine). args: (serialized-filter BINARY literal, xxhash64 long)
+        // engine). The caller's `lit(bytes)` is unwrapped HERE, at
+        // resolution time, so the filter rides the plan as BloomProbe's
+        // compact byte-array field rather than a BinaryType literal that
+        // renders megabytes of hex into every plan string (round-13
+        // review; see the kernel's scaladoc).
+        // args: (serialized-filter BINARY literal, xxhash64 long)
         require(args.length == 2, "bloom_probe takes (filter_bytes, long_value)")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          args.head, args(1))
+        val bytes = args.head match {
+          case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+          case other => throw new IllegalArgumentException(
+            s"bloom_probe: filter must be a binary literal, got $other")
+        }
+        graft.expr.BloomProbe(bytes, args(1))
       }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),

@@ -1010,10 +1010,15 @@ object Harness {
       val t0 = System.nanoTime()
       val j0 = jobs.get()
       val (labels, rounds) = DedupOps.starComponents(nodes, pairs)
+      // wall covers the contraction only — captured BEFORE the listener
+      // drain sleep and the label-count verification job (the round-13
+      // review caught both riding inside the reported wall; the recorded
+      // r12-vs-r13 A/B carried the same constant on both arms, so its
+      // ratios stand, but absolute walls read ~0.3 s + one count high)
+      val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // listener bus is async; let JobStart events drain
       val nJobs = jobs.get() - j0
       val distinctLabels = labels.select($"label").distinct().count()
-      val wall = (System.nanoTime() - t0) / 1e9
       println(f"CCCHAIN n=$n%8d diameter=${n - 1}%8d rounds=$rounds%3d " +
         f"components=$distinctLabels jobs=$nJobs%3d (${nJobs.toDouble / math.max(rounds, 1)}%.1f/round) " +
         f"wall=$wall%.2fs")

@@ -118,6 +118,32 @@ class BandTunerSpec extends SparkSpec {
       s"a corpus without degenerate buckets must not suggest a cap: $clean")
   }
 
+  test("suggestCapFrom scales BOTH populations to corpus units (round-13 review)") {
+    // The review's scenario: n/s = 10, degThreshold = max(16, 1%·10000)
+    // = 100. A genuine 900-doc cluster appears in the sample at ~90
+    // (< 100 → non-degenerate); the smallest degenerate sampled bucket
+    // is 100 (corpus 1000). The cap must keep the genuine cluster at
+    // CORPUS scale — the pre-fix floor used sample units, said 128, and
+    // excised it. Here 90×10 = 900 floors the suggestion at 1024 even
+    // though the degenerate bound alone would say 512: overlap, recall
+    // wins (the field's documented tie-break).
+    val cap = BandTuner.suggestCapFrom(Array(2L, 5L, 90L, 100L, 400L), 10000L, 100000L)
+    assert(cap >= 900, s"genuine 900-doc cluster must survive the suggested cap: $cap")
+    assert(cap == 1024, s"expected the power-of-two floor over 90×10: $cap")
+    // no degenerate buckets → no cap, at any scale
+    assert(BandTuner.suggestCapFrom(Array(1L, 3L, 15L), 10000L, 100000L) == 0)
+    // clean separation: sampled degenerate 100 (corpus 1000), largest
+    // non-degenerate 30 (corpus 300) → largest power of two below 1000
+    // that keeps 300: 512
+    val sep = BandTuner.suggestCapFrom(Array(2L, 30L, 100L), 10000L, 100000L)
+    assert(sep == 512, s"expected 512: $sep")
+    // sampling-rate invariance: the same corpus sampled twice as deep
+    // (observed sizes double, scale halves) must suggest the same cap —
+    // the property the sample-unit floor violated by ~n/s
+    val deep = BandTuner.suggestCapFrom(Array(4L, 60L, 200L), 20000L, 100000L)
+    assert(deep == sep, s"suggestion must be sampling-rate invariant: $sep vs $deep")
+  }
+
   test("over-cap sentinel docs price as always-kept, not as a size class") {
     // a doc past CardCapShingles carries n_sh = CardUnknown (0); the
     // deployed prefilter passes such rows through unconditionally, so the

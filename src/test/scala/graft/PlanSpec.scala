@@ -227,17 +227,19 @@ class PlanSpec extends SparkSpec {
     // the corpus-side scan stage, so misses die before the (possibly
     // shuffled) exact join's exchange. A refactor that hoists it above
     // the join (or drops the exact join after it) fails here.
-    // round 13: the probe is the native BloomFilterMightContain predicate
-    // (bloom_probe), not a ScalaUDF — the pin now also guards against a
-    // regression back to the codegen-breaking UDF form
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
+    // round 13: the probe is the native BloomProbe predicate (the house
+    // re-housing of BloomFilterMightContain with the filter as a compact
+    // field, not a hex-rendering binary literal), not a ScalaUDF — the
+    // pin now also guards against a regression back to the
+    // codegen-breaking UDF form
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
     spark.conf.set("graft.text.decontam.bloom", "true")
     try {
       val df = graft.functions.TextOps.decontaminate(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan
       def bloomBelow(p: LogicalPlan): Boolean = p.collectFirst {
-        case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+        case f: Filter if f.condition.exists(_.isInstanceOf[graft.expr.BloomProbe]) => f
       }.nonEmpty
       val joins = plan.collect { case j: Join => j }
       assert(joins.exists(j => j.children.exists(bloomBelow)),
