@@ -379,7 +379,7 @@ object ShuffleMeter {
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n|dir:<path>] [shape] [bucketcap]` — string vs hash shingle keys in the jaccard verify
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
-  *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full] [shape]` — embedding-side bucket cap A/B
+  *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full|caponly] [shape]` — embedding-side bucket cap A/B
   *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
   *  - `skew-minhash [n] [hotFrac]` — AQE skew-split evidence, hot-bucket corpus
   *  - `banded [dir] [shape]` — banded pipeline stage decomposition
@@ -409,7 +409,7 @@ object Harness {
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n|dir:<path>] [shape] [bucketcap] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
-    ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full] [shape] — embedding-side bucket cap on the dense-dup corpus (shape default 8x10; MUST be corpus-matched or the cap empties the index)", simBucketcap),
+    ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full|caponly] [shape] — embedding-side bucket cap on the dense-dup corpus (shape default 8x10; MUST be corpus-matched or the cap empties the index)", simBucketcap),
     ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
     ("skew-minhash", "[n] [hotFrac] — AQE skew-split evidence on a hot-bucket corpus", skewMinhash),
     ("banded", "[dir] [shape] — banded pipeline stage decomposition", banded),
@@ -845,6 +845,17 @@ object Harness {
     val hotFrac = args.lift(1).map(_.toDouble).getOrElse(0.2)
     val cap = args.lift(2).map(_.toInt).getOrElse(512)
     val runFull = args.lift(3).contains("full")
+    // `caponly` (arg 3): skip the uncapped count leg entirely. Past
+    // ~100k vectors the uncapped candidate mass is quadratic in DISK as
+    // well as time — measured 2026-08-15: at 200k (hot 40k) the
+    // pre-distinct shuffle (~8B pairs across 10 tables) filled this
+    // box's ~78 GB scratch after 41 min and killed the job with "No
+    // space left on device". genuineKept is then reported against the
+    // PLANTED genuine-pair count (Corpora.ClusterSize-vector clusters ×
+    // C(size,2)) instead of the unmeasurable uncapped genuine slice —
+    // an absolute recall bound (banding loss included) rather than the
+    // cap-only relative one.
+    val capOnly = args.lift(3).contains("caponly")
     // CORPUS-MATCHED shape (arg 4, default 8x10 = 1024 buckets/table):
     // the cap presumes bucket count ≫ corpus/cap — at the gate's 8×4
     // there are only 2⁴ buckets per table, so past ~cap×16 vectors EVERY
@@ -874,13 +885,23 @@ object Harness {
         println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape $label dedup wall min=$t%.2fs")
       }
       spark.conf.unset("graft.sim.bucketcap")
-      val (allU, genU) = counts()
-      println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off candidates=$allU%,12d genuine=$genU%,9d")
-      if (runFull) dedupWall("cap=off")
+      val genU: Long = if (capOnly) {
+        // planted-pair denominator (see the `caponly` note above): every
+        // genuine cluster contributes C(ClusterSize, 2) true pairs
+        val nClusters = math.max(1, (n * Corpora.GenuineFrac).toInt / Corpora.ClusterSize)
+        val denom = nClusters.toLong * (Corpora.ClusterSize.toLong * (Corpora.ClusterSize - 1) / 2)
+        println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off SKIPPED (caponly); planted genuine pairs=$denom%,9d")
+        denom
+      } else {
+        val (allU, g) = counts()
+        println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off candidates=$allU%,12d genuine=$g%,9d")
+        if (runFull) dedupWall("cap=off")
+        g
+      }
       spark.conf.set("graft.sim.bucketcap", cap.toString)
       val (allC, genC) = counts()
       println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=$cap candidates=$allC%,12d genuine=$genC%,9d " +
-        f"genuineKept=${if (genU == 0) 1.0 else genC.toDouble / genU}%.4f")
+        f"genuineKept=${if (genU == 0) 1.0 else genC.toDouble / genU}%.4f${if (capOnly) " (vs planted)" else ""}")
       dedupWall(s"cap=$cap")
       spark.conf.unset("graft.sim.bucketcap")
     }
