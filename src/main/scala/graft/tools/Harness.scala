@@ -264,6 +264,23 @@ object Corpora {
     dir
   }
 
+  /** Exact planted genuine-pair count for [[generateDenseDupVectors]]'s
+    * layout. The nGen genuine vectors are dealt to nClusters clusters by
+    * consecutive-id modulus, so each cluster holds ⌊nGen/nClusters⌋ or
+    * ⌈nGen/nClusters⌉ members — NOT exactly [[ClusterSize]] when it
+    * doesn't divide nGen (a naive nClusters × C(ClusterSize,2) over- or
+    * under-counts then, e.g. nGen=45 has C(45,2)=990 true pairs, not
+    * 1,225). Lives next to the generator so the caponly recall
+    * denominator can't drift from the corpus recipe.
+    */
+  def plantedGenuinePairs(n: Int): Long = {
+    val nGen = (n * GenuineFrac).toInt
+    val nClusters = math.max(1, nGen / ClusterSize)
+    val (q, r) = ((nGen / nClusters).toLong, (nGen % nClusters).toLong)
+    def c2(m: Long) = m * (m - 1) / 2
+    r * c2(q + 1) + (nClusters - r) * c2(q)
+  }
+
   /** Decontamination stress corpus: 5 LARGE eval documents (`evalTokens`
     * tokens each — the regime where the eval-gram set strains the
     * broadcast budget) plus n 200-token corpus docs from a DISJOINT
@@ -830,11 +847,17 @@ object Harness {
     * corpus ([[Corpora.generateDenseDupVectors]]). For each size: the
     * UNCAPPED banded candidate count (total + the slice among the planted
     * GENUINE clusters — the recall mass the cap must not cost), the
-    * capped counts, and the capped `dedup_embedding_cosine` wall; the
-    * uncapped full dedup (float-verify over the quadratic mass — the
-    * JVM-killing leg at scale, by the minhash precedent) only runs when
-    * the last arg is `full`. Genuine-slice equality capped ≡ uncapped is
-    * the zero-recall-loss evidence: genuine clusters live in ~50-vector
+    * capped counts, and the capped `dedup_embedding_cosine` wall. Arg 3
+    * selects a mode: `full` additionally runs the uncapped full dedup
+    * (float-verify over the quadratic mass — the JVM-killing leg at
+    * scale, by the minhash precedent); `caponly` SKIPS the uncapped
+    * count leg entirely (past ~100k vectors its pre-distinct shuffle is
+    * quadratic in scratch DISK — measured fatal at 200k on a ~78 GB
+    * disk) and reports genuineKept against
+    * [[Corpora.plantedGenuinePairs]] instead — an absolute recall bound
+    * that includes banding loss. Arg 4 is the band shape. In the default
+    * A/B, genuine-slice equality capped ≡ uncapped is the
+    * zero-recall-loss evidence: genuine clusters live in ~50-vector
     * buckets far below any sane cap.
     */
   private def simBucketcap(args: Array[String]): Unit = {
@@ -844,18 +867,21 @@ object Harness {
       .getOrElse(Seq(20000, 50000))
     val hotFrac = args.lift(1).map(_.toDouble).getOrElse(0.2)
     val cap = args.lift(2).map(_.toInt).getOrElse(512)
-    val runFull = args.lift(3).contains("full")
     // `caponly` (arg 3): skip the uncapped count leg entirely. Past
     // ~100k vectors the uncapped candidate mass is quadratic in DISK as
     // well as time — measured 2026-08-15: at 200k (hot 40k) the
     // pre-distinct shuffle (~8B pairs across 10 tables) filled this
     // box's ~78 GB scratch after 41 min and killed the job with "No
-    // space left on device". genuineKept is then reported against the
-    // PLANTED genuine-pair count (Corpora.ClusterSize-vector clusters ×
-    // C(size,2)) instead of the unmeasurable uncapped genuine slice —
-    // an absolute recall bound (banding loss included) rather than the
-    // cap-only relative one.
-    val capOnly = args.lift(3).contains("caponly")
+    // space left on device". genuineKept is then reported against
+    // Corpora.plantedGenuinePairs instead of the unmeasurable uncapped
+    // genuine slice — an absolute recall bound (banding loss included)
+    // rather than the cap-only relative one. A typo'd mode must fail
+    // HERE, not fall through to the disk-filling uncapped leg.
+    val mode = args.lift(3)
+    require(mode.forall(Set("full", "caponly")),
+      s"arg 3 must be 'full' or 'caponly', got '${mode.get}'")
+    val runFull = mode.contains("full")
+    val capOnly = mode.contains("caponly")
     // CORPUS-MATCHED shape (arg 4, default 8x10 = 1024 buckets/table):
     // the cap presumes bucket count ≫ corpus/cap — at the gate's 8×4
     // there are only 2⁴ buckets per table, so past ~cap×16 vectors EVERY
@@ -886,10 +912,7 @@ object Harness {
       }
       spark.conf.unset("graft.sim.bucketcap")
       val genU: Long = if (capOnly) {
-        // planted-pair denominator (see the `caponly` note above): every
-        // genuine cluster contributes C(ClusterSize, 2) true pairs
-        val nClusters = math.max(1, (n * Corpora.GenuineFrac).toInt / Corpora.ClusterSize)
-        val denom = nClusters.toLong * (Corpora.ClusterSize.toLong * (Corpora.ClusterSize - 1) / 2)
+        val denom = Corpora.plantedGenuinePairs(n)
         println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off SKIPPED (caponly); planted genuine pairs=$denom%,9d")
         denom
       } else {

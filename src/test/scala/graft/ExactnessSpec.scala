@@ -336,6 +336,30 @@ class ExactnessSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sim.bucketcap")
   }
 
+  test("plantedGenuinePairs matches the dense-dup generator's cluster layout") {
+    // the caponly recall denominator must track generateDenseDupVectors'
+    // ACTUAL deal (consecutive ids mod nClusters ⇒ cluster sizes ⌊nGen/
+    // nClusters⌋ or ⌈…⌉) — a naive nClusters × C(ClusterSize,2) is wrong
+    // whenever ClusterSize doesn't divide nGen. Brute-force the layout at
+    // divisible and non-divisible sizes, and at two hot-slice offsets to
+    // show the size multiset is offset-invariant (the helper takes no
+    // hotFrac for that reason).
+    import graft.tools.Corpora
+    for (n <- Seq(150, 1000, 20034, 200000); hotFrac <- Seq(0.0, 0.2)) {
+      val nGen = (n * Corpora.GenuineFrac).toInt
+      val nHot = (n * hotFrac).toInt
+      val nClusters = math.max(1, nGen / Corpora.ClusterSize)
+      val brute = (nHot until nHot + nGen).groupBy(_ % nClusters)
+        .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      assert(Corpora.plantedGenuinePairs(n) == brute, s"n=$n hotFrac=$hotFrac")
+    }
+    // the published curve figures and the reviewer's counter-examples
+    assert(Corpora.plantedGenuinePairs(20000) == 147000L)
+    assert(Corpora.plantedGenuinePairs(200000) == 1470000L)
+    assert(Corpora.plantedGenuinePairs(20034) == 147500L) // 10 clusters of 51
+    assert(Corpora.plantedGenuinePairs(150) == 990L)      // one 45-vector cluster
+  }
+
   test("text_decontaminate: bloom-prefiltered path ≡ broadcast path (corpus_select too)") {
     // the bloom is a may-contain prefilter ahead of an exact join, so
     // false positives are re-verified and false negatives don't exist —
