@@ -45,6 +45,12 @@ object ValueHistogram extends Aggregator[String, mutable.Map[String, Long], Hist
     }
   }
 
+  // kryo stays here: the buffer is a mutable Map (O(1) per-row updates;
+  // an immutable-Map or struct buffer would allocate per row), which has
+  // no product encoder. Kryo requires the JVM module opens every supported
+  // Spark launcher adds (`--add-opens java.base/java.nio` among them) —
+  // an ad-hoc bare-`java` launch without them fails any kryo encoder with
+  // EXPRESSION_ENCODING_FAILED (see SCALE.md round 13, bench sentinel).
   override def bufferEncoder: Encoder[mutable.Map[String, Long]] =
     Encoders.kryo[mutable.Map[String, Long]]
   override def outputEncoder: Encoder[HistReport] = Encoders.product[HistReport]
@@ -65,7 +71,8 @@ class CappedUniq(cap: Int) extends Aggregator[Long, mutable.Set[Long], UniqRepor
   override def merge(a: mutable.Set[Long], b: mutable.Set[Long]): mutable.Set[Long] = a ++= b
   override def finish(s: mutable.Set[Long]): UniqReport =
     UniqReport(s.size.toLong, s.toSeq.sorted.take(cap))
-  override def bufferEncoder: Encoder[mutable.Set[Long]] = Encoders.kryo[mutable.Set[Long]]
+  override def bufferEncoder: Encoder[mutable.Set[Long]] =
+    Encoders.kryo[mutable.Set[Long]] // mutable buffer, no product form — see ValueHistogram
   override def outputEncoder: Encoder[UniqReport] = Encoders.product[UniqReport]
 }
 
@@ -110,7 +117,14 @@ abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
 
 class TopKAgg(k: Int) extends BoundedTopK[Scored](k,
     Ordering.by((s: Scored) => (-s.score, s.key))) {
-  override def bufferEncoder: Encoder[TopKBuf[Scored]] = Encoders.kryo[TopKBuf[Scored]]
+  // product (struct) buffer encoder, NOT Encoders.kryo: the buffer is a
+  // plain case class, so the Tungsten struct form ships smaller partial
+  // rows at the shuffle — and Kryo-encoding ANY Scala object fails with an
+  // opaque EXPRESSION_ENCODING_FAILED on a JVM launched without Spark's
+  // `--add-opens java.base/java.nio` (chill's registrar needs ByteBuffer
+  // reflection). Every supported launcher adds the opens; the struct
+  // encoder keeps the heap aggregators correct even on one that doesn't.
+  override def bufferEncoder: Encoder[TopKBuf[Scored]] = Encoders.product[TopKBuf[Scored]]
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
@@ -143,7 +157,8 @@ object ScoredStr {
 class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
     Ordering.by((s: ScoredStr) => (-s.score, s.key))(
       Ordering.Tuple2(Ordering.Double.TotalOrdering, ScoredStr.utf8Ordering))) {
-  override def bufferEncoder: Encoder[TopKBuf[ScoredStr]] = Encoders.kryo[TopKBuf[ScoredStr]]
+  override def bufferEncoder: Encoder[TopKBuf[ScoredStr]] =
+    Encoders.product[TopKBuf[ScoredStr]] // struct not kryo — see TopKAgg
   override def outputEncoder: Encoder[Seq[ScoredStr]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
 }
@@ -162,7 +177,7 @@ class LowKLong(k: Int) extends BoundedTopK[java.lang.Long](k,
   override def reduce(b: TopKBuf[java.lang.Long], v: java.lang.Long): TopKBuf[java.lang.Long] =
     if (v == null) b else super.reduce(b, v)
   override def bufferEncoder: Encoder[TopKBuf[java.lang.Long]] =
-    Encoders.kryo[TopKBuf[java.lang.Long]]
+    Encoders.product[TopKBuf[java.lang.Long]] // struct not kryo — see TopKAgg
   override def outputEncoder: Encoder[Seq[java.lang.Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Long]]()
 }
