@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import scala.collection.mutable
+import scala.reflect.runtime.universe
 
 /** ValueHistogram report: stats over the per-value counts of a key's
   * values — the reference's report minus float stddev (exact long moments
@@ -93,8 +94,17 @@ case class Scored(score: Double, key: Long)
   */
 case class TopKBuf[S](n: Int, items: List[S])
 
-abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
+abstract class BoundedTopK[S: universe.TypeTag](k: Int, ord: Ordering[S])
     extends Aggregator[S, TopKBuf[S], Seq[S]] {
+  // product (struct) buffer encoder, NOT Encoders.kryo — single-sourced
+  // here so no subclass can fall back to kryo: the buffer is a plain case
+  // class, so the Tungsten struct form ships typed partial rows at the
+  // shuffle, and Kryo-encoding ANY Scala object fails with an opaque
+  // EXPRESSION_ENCODING_FAILED on a JVM launched without Spark's
+  // `--add-opens java.base/java.nio` (chill's registrar needs ByteBuffer
+  // reflection; every supported launcher adds the opens — see SCALE.md
+  // round 13, bench sentinel).
+  override def bufferEncoder: Encoder[TopKBuf[S]] = Encoders.product[TopKBuf[S]]
   // Amortized O(log k) insert for ANY k (sourceMixResample instantiates
   // this with corpus-scale quotas, not just k=3): prepend until the buffer
   // holds 2k candidates, then one O(k log k) sort-trim pays for the k
@@ -117,14 +127,6 @@ abstract class BoundedTopK[S](k: Int, ord: Ordering[S])
 
 class TopKAgg(k: Int) extends BoundedTopK[Scored](k,
     Ordering.by((s: Scored) => (-s.score, s.key))) {
-  // product (struct) buffer encoder, NOT Encoders.kryo: the buffer is a
-  // plain case class, so the Tungsten struct form ships smaller partial
-  // rows at the shuffle — and Kryo-encoding ANY Scala object fails with an
-  // opaque EXPRESSION_ENCODING_FAILED on a JVM launched without Spark's
-  // `--add-opens java.base/java.nio` (chill's registrar needs ByteBuffer
-  // reflection). Every supported launcher adds the opens; the struct
-  // encoder keeps the heap aggregators correct even on one that doesn't.
-  override def bufferEncoder: Encoder[TopKBuf[Scored]] = Encoders.product[TopKBuf[Scored]]
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
@@ -157,8 +159,6 @@ object ScoredStr {
 class TopKStrAgg(k: Int) extends BoundedTopK[ScoredStr](k,
     Ordering.by((s: ScoredStr) => (-s.score, s.key))(
       Ordering.Tuple2(Ordering.Double.TotalOrdering, ScoredStr.utf8Ordering))) {
-  override def bufferEncoder: Encoder[TopKBuf[ScoredStr]] =
-    Encoders.product[TopKBuf[ScoredStr]] // struct not kryo — see TopKAgg
   override def outputEncoder: Encoder[Seq[ScoredStr]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
 }
@@ -176,8 +176,6 @@ class LowKLong(k: Int) extends BoundedTopK[java.lang.Long](k,
     Ordering.by((x: java.lang.Long) => x.longValue)) {
   override def reduce(b: TopKBuf[java.lang.Long], v: java.lang.Long): TopKBuf[java.lang.Long] =
     if (v == null) b else super.reduce(b, v)
-  override def bufferEncoder: Encoder[TopKBuf[java.lang.Long]] =
-    Encoders.product[TopKBuf[java.lang.Long]] // struct not kryo — see TopKAgg
   override def outputEncoder: Encoder[Seq[java.lang.Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Long]]()
 }
