@@ -395,6 +395,7 @@ object ShuffleMeter {
   *  - `exactness [dir]` — exact vs banded A/B for the knobbed queries
   *  - `ab-prefilter [dir]` — int8 candidate-prefilter on/off A/B
   *  - `verify-shuffle [n|dir:<path>] [shape] [bucketcap]` — string vs hash shingle keys in the jaccard verify
+  *  - `topk-encoder [nKeys] [rowsPerKey] [k]` — struct vs kryo bounded-top-k buffer A/B
   *  - `decontam-bloom [n] [evalTokens]` — decontaminate bloom-prefilter A/B
   *  - `sim-bucketcap [n,...] [hotFrac] [cap] [full|caponly] [shape]` — embedding-side bucket cap A/B
   *  - `cc-chain [n...]` — star-contraction rounds/wall on path graphs
@@ -425,6 +426,7 @@ object Harness {
     ("exactness", "[dir] — exact vs banded A/B at sf0.1", exactness),
     ("ab-prefilter", "[dir] [pairsShape] [cosdedupShape] — int8 candidate-prefilter on/off A/B", abPrefilter),
     ("verify-shuffle", "[n|dir:<path>] [shape] [bucketcap] — string vs hash shingle keys in the jaccard verify", verifyShuffle),
+    ("topk-encoder", "[nKeys] [rowsPerKey] [k] — struct vs kryo bounded-top-k buffer encoding A/B", topkEncoder),
     ("decontam-bloom", "[n] [evalTokens] — bloom prefilter vs broadcast/shuffle join in decontaminate", decontamBloom),
     ("sim-bucketcap", "[n,...] [hotFrac] [cap] [full|caponly] [shape] — embedding-side bucket cap on the dense-dup corpus (shape default 8x10; MUST be corpus-matched or the cap empties the index)", simBucketcap),
     ("cc-chain", "[n...] — star-contraction rounds/wall on path graphs", ccChain),
@@ -838,6 +840,44 @@ object Harness {
       println(f"VERIFYSHUF corpus=$n shape=$shape cap=$cap full[$mode%-11s] " +
         f"min=$t%.2fs verify-share=${t - tCand}%.2fs verifiedPairs=$nPairs " +
         f"shuffle read=${mb(r)} write=${mb(w)}")
+    }
+    spark.stop()
+  }
+
+  /** Round 13 (bench Kryo sentinel, SCALE.md): A/B the bounded-top-k
+    * BUFFER encoding — product struct vs `Encoders.kryo` — on a synthetic
+    * many-group aggregation whose shuffle is almost entirely partial
+    * `TopKBuf` rows (nKeys·partitions tiny heaps). The swap to struct
+    * encoders was motivated by correctness-under-deployment (an
+    * opens-less JVM cannot kryo-serialize ANY Scala object); this
+    * measures the byte/wall side so the SCALE.md claim is a figure, not
+    * a guess. The kryo leg lives HERE as a harness-only subclass —
+    * production aggregators inherit the struct encoder from
+    * [[graft.functions.BoundedTopK]] and cannot silently pick kryo.
+    * args: [nKeys] [rowsPerKey] [k]
+    */
+  private def topkEncoder(args: Array[String]): Unit = {
+    val spark = Session.local(32, "topk-encoder")
+    import spark.implicits._
+    val nKeys = args.lift(0).map(_.toInt).getOrElse(100000)
+    val rowsPerKey = args.lift(1).map(_.toInt).getOrElse(20)
+    val k = args.lift(2).map(_.toInt).getOrElse(3)
+    // deterministic synthetic input, materialized once so both legs
+    // aggregate identical cached blocks instead of re-running range codegen
+    val df = spark.range(nKeys.toLong * rowsPerKey).select(
+      pmod($"id", lit(nKeys)).as("key"),
+      (pmod(hash($"id"), lit(1000000)).cast("double") / 1e6).as("score"),
+      $"id".as("c_id")).localCheckpoint(true)
+    val meter = new ShuffleMeter(spark)
+    import ShuffleMeter.mb
+    val legs = Seq(
+      "struct" -> udaf(new graft.functions.TopKAgg(k)),
+      "kryo" -> udaf(new KryoTopKAgg(k)))
+    for ((label, agg) <- legs) {
+      val out = df.groupBy($"key").agg(agg($"score", $"c_id").as("top"))
+      val (t, r, w) = meter.measured(noop(out))
+      println(f"TOPKENC nKeys=$nKeys rowsPerKey=$rowsPerKey k=$k buf=$label%-6s " +
+        f"min=$t%.2fs shuffle read=${mb(r)} write=${mb(w)}")
     }
     spark.stop()
   }
@@ -1535,4 +1575,20 @@ object Harness {
     }
     spark.stop()
   }
+}
+
+/** Harness-only kryo-buffered twin of [[graft.functions.TopKAgg]] for the
+  * `topk-encoder` A/B (SCALE.md round 13, bench Kryo sentinel). NOT for
+  * production: a kryo buffer ships opaque blobs and needs the JVM module
+  * opens every supported Spark launcher adds — the production heap
+  * aggregators inherit the struct encoder from
+  * [[graft.functions.BoundedTopK]].
+  */
+private final class KryoTopKAgg(k: Int)
+    extends graft.functions.BoundedTopK[graft.functions.Scored](k,
+      Ordering.by((s: graft.functions.Scored) => (-s.score, s.key))) {
+  override def bufferEncoder =
+    org.apache.spark.sql.Encoders.kryo[graft.functions.TopKBuf[graft.functions.Scored]]
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[graft.functions.Scored]]()
 }
