@@ -97,9 +97,11 @@ case class TopKBuf[S](n: Int, items: List[S])
 abstract class BoundedTopK[S: universe.TypeTag](k: Int, ord: Ordering[S])
     extends Aggregator[S, TopKBuf[S], Seq[S]] {
   // product (struct) buffer encoder, NOT Encoders.kryo — single-sourced
-  // here so no subclass can fall back to kryo: the buffer is a plain case
-  // class, so the Tungsten struct form ships typed partial rows at the
-  // shuffle, and Kryo-encoding ANY Scala object fails with an opaque
+  // here so every concrete heap aggregator inherits it by default (a
+  // subclass can still override deliberately — the harness A/B twin does —
+  // but none picks kryo by omission): the buffer is a plain case class,
+  // so the Tungsten struct form ships typed partial rows at the shuffle,
+  // and Kryo-encoding ANY Scala object fails with an opaque
   // EXPRESSION_ENCODING_FAILED on a JVM launched without Spark's
   // `--add-opens java.base/java.nio` (chill's registrar needs ByteBuffer
   // reflection; every supported launcher adds the opens — see SCALE.md

@@ -1584,11 +1584,10 @@ object Harness {
   * aggregators inherit the struct encoder from
   * [[graft.functions.BoundedTopK]].
   */
-private final class KryoTopKAgg(k: Int)
-    extends graft.functions.BoundedTopK[graft.functions.Scored](k,
-      Ordering.by((s: graft.functions.Scored) => (-s.score, s.key))) {
+private final class KryoTopKAgg(k: Int) extends graft.functions.TopKAgg(k) {
+  // extends TopKAgg (not BoundedTopK) so the ordering/tie-break stays
+  // single-sourced: the A/B must compare ENCODINGS of the same
+  // aggregation, and a copied Ordering could silently drift
   override def bufferEncoder =
     org.apache.spark.sql.Encoders.kryo[graft.functions.TopKBuf[graft.functions.Scored]]
-  override def outputEncoder =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[graft.functions.Scored]]()
 }
