@@ -307,9 +307,15 @@ object BandTuner {
       val maxOk = math.min(
         math.ceil(szs.filter(_ < degThreshold).maxOption.getOrElse(1L) * scale),
         Int.MaxValue.toDouble).toInt
+      // power-of-two CEILING of maxOk, computed in Long: at maxOk ≥ 2^30
+      // the Int form's h * 2 overflows negative and math.max below then
+      // silently returns `below` — inverting the recall-wins tie-break
+      // and excising the largest genuine cluster, the exact bug class
+      // this function was extracted to prevent (round-14 advice #1)
       val atLeast = {
-        val h = Integer.highestOneBit(math.max(maxOk, 1))
-        if (h < maxOk) h * 2 else h
+        val h = java.lang.Long.highestOneBit(math.max(maxOk.toLong, 1L))
+        val ceil = if (h < maxOk) h * 2 else h
+        math.min(ceil, Int.MaxValue.toLong).toInt
       }
       // atLeast > below means the populations overlap: recall wins the
       // tie (the field's documented contract) — the overlapping

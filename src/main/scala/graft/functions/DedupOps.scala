@@ -304,7 +304,9 @@ object DedupOps extends QueryPack {
     // (band,bucket) shuffle already carries — and the cost is paid only
     // when the dial is on.
     val cap = bucketCap(spark)
-    val bc = if (cap > 0) dropOversizedBuckets(b, Seq("bb"), cap) else b
+    val bc =
+      if (cap > 0) dropOversizedBuckets(b, Seq("bb"), cap, "graft.dedup.bucketcap")
+      else b
     def side(d: String, ns: String): DataFrame =
       bc.select($"bb" +: $"doc_id".as(d) +:
         (if (pf) Seq($"n_sh".as(ns)) else Nil): _*).hint("shuffle_hash")
@@ -352,24 +354,60 @@ object DedupOps extends QueryPack {
     spark.conf.get("graft.dedup.bucketcap", "0").toInt
 
   /** The oversized-bucket drop behind BOTH cap dials
-    * (`graft.dedup.bucketcap` here, `graft.sim.bucketcap` in
+    * (`graft.dedup.bucketcap` here, `graft.sim.bucketcap.<key>` in
     * [[SimilarityOps.lshCandidateIds]]) — one implementation so the two
     * cannot silently diverge (round-13 review). The bucketed stream is
-    * materialized ONCE through a LAZY `localCheckpoint` so the cap's
+    * materialized ONCE through a `localCheckpoint` so the cap's
     * consumers (the sizes aggregation, the semi-join leg, and every
     * self-join side downstream) read persisted rows instead of each
     * re-running the scan+signature subtree (measured 4 passes without
-    * it); laziness keeps frame CONSTRUCTION job-free, and the blocks are
-    * ContextCleaner-released once the returned frame is unreferenced.
-    * `shuffle_hash` on the (keys,count) side: it is strictly smaller
-    * than the stream it filters, but corpus-proportional — broadcast is
-    * never the scale-correct strategy for it. Callers gate on cap > 0.
+    * it); the blocks are ContextCleaner-released once the returned frame
+    * is unreferenced. `shuffle_hash` on the (keys,count) side: it is
+    * strictly smaller than the stream it filters, but
+    * corpus-proportional — broadcast is never the scale-correct strategy
+    * for it. Callers gate on cap > 0.
+    *
+    * EMPTY-INDEX TRIPWIRE (round 15 — r13's #1 ordered fix): a cap below
+    * corpus / buckets-per-table puts EVERY bucket over the cap and the
+    * drop silently returns an empty candidate set — a dedup run that
+    * quietly reports "no near-dups" on a corpus full of them (measured,
+    * SCALE.md round 13: sign-LSH 8×4 at 20k vectors with cap 512 → 0
+    * candidates; every bucket held ~1250). The sizes aggregation this
+    * helper computes anyway makes the check nearly free: ONE eager pass
+    * over the checkpointed blocks at construction (blocks the first
+    * consumer would materialize immediately after), and if over-cap
+    * buckets hold ≥ 99% of all bucketed rows the helper `require`-fails
+    * with the shape arithmetic instead of handing downstream an empty
+    * index. 99%, not 100%: the failure mode is a SHAPE mismatch (too few
+    * buckets per table), which drowns every bucket at once — a corpus
+    * that is 95% one hot cluster on a matched shape still keeps its
+    * background buckets and is exactly what the cap is for.
     */
   private[functions] def dropOversizedBuckets(
-      bucketed: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+      bucketed: DataFrame, keys: Seq[String], cap: Int, dial: String): DataFrame = {
     val bMat = bucketed.localCheckpoint(false)
-    val small = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
-      .filter(col("bkt_n") <= cap).select(keys.map(col): _*)
+    val sizes = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
+    val bn = col("bkt_n")
+    val st = sizes.agg(
+      coalesce(sum(bn), lit(0L)).as("total"),
+      coalesce(sum(when(bn > cap, bn)), lit(0L)).as("over"),
+      count(lit(1)).as("buckets"),
+      coalesce(sum(when(bn > cap, lit(1L))), lit(0L)).as("overBuckets"),
+      coalesce(min(bn), lit(0L)).as("minBucket")).head
+    val (total, over) = (st.getLong(0), st.getLong(1))
+    val (buckets, overBuckets, minBucket) =
+      (st.getLong(2), st.getLong(3), st.getLong(4))
+    require(total == 0L || over < 0.99 * total,
+      s"$dial=$cap would drop ${if (over == total) "ALL" else s"$over of $total"} " +
+        s"bucketed rows ($overBuckets of $buckets buckets over the cap; smallest " +
+        s"bucket holds $minBucket) — the candidate index would be silently " +
+        "empty(ish) and the dedup would report no near-dups on any corpus. This " +
+        "is a band-SHAPE mismatch, not a corpus property: with 2^planes buckets " +
+        "per table, a cap below corpus/2^planes puts every bucket over the cap. " +
+        s"Raise the cap above the typical bucket size (here ≥ $minBucket) or " +
+        "sharpen the shape (more planes per table via graft.sim.bands.<key>; " +
+        "BandTuner.suggest / suggestMinhash name a corpus-matched shape and cap).")
+    val small = sizes.filter(col("bkt_n") <= cap).select(keys.map(col): _*)
     bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
   }
 
@@ -565,7 +603,7 @@ object DedupOps extends QueryPack {
         val (t, p) = SimilarityOps.bandShape(spark, "cosdedup", defTables = 8, defPlanes = 4)
         val cand = SimilarityOps.lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
           probeBits = SimilarityOps.probeBitsOf(spark, "cosdedup", p),
-          prefilterTheta = Some(CosDedupThreshold))
+          prefilterTheta = Some(CosDedupThreshold), capKey = "cosdedup")
         val near = cand.union(cand.select($"v2".as("v1"), $"v1".as("v2")))
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), Seq("v2"))

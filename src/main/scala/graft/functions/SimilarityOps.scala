@@ -101,7 +101,7 @@ object SimilarityOps extends QueryPack {
   private[graft] def prefilterOn(spark: SparkSession): Boolean =
     spark.conf.get("graft.sim.prefilter", "true").toBoolean
 
-  /** `graft.sim.bucketcap` (default 0 = off): before the candidate
+  /** `graft.sim.bucketcap.<key>` (default 0 = off): before the candidate
     * self-join, DROP every (table, bucket) group holding more than this
     * many vectors — the embedding-side twin of `graft.dedup.bucketcap`
     * (SCALE.md round 12 named it the symmetric hazard; round 13 measures
@@ -136,10 +136,32 @@ object SimilarityOps extends QueryPack {
     * [[graft.functions.BandTuner.suggest]]); on a matched shape the hot
     * cluster still collapses into ONE bucket per table (near-identical
     * vectors share every sign bit) while the background spreads, and the
-    * cap separates cleanly.
+    * cap separates cleanly. Since round 15 the precondition is also a
+    * RUNTIME tripwire, not just this paragraph: the shared
+    * [[DedupOps.dropOversizedBuckets]] helper require-fails when over-cap
+    * buckets hold ≥ 99% of bucketed rows, so the measured silent-empty
+    * shape now fails loud at construction.
+    *
+    * SCOPED PER CONSUMER (round 15, r14 advice #3): the dial is keyed
+    * like the band shapes — `graft.sim.bucketcap.cosdedup` caps the
+    * embedding-dedup route, `.pairs` the threshold route, `.adhoc` direct
+    * [[lshCandidateIds]] calls (tools, specs) — because one global value
+    * tuned for dedup's hot-bucket excision silently degraded every OTHER
+    * `lshCandidateIds` consumer in the same session: a top-1 route that
+    * loses a hot-bucket member's only shared bucket loses that vector's
+    * true nearest outright, where dedup merely re-finds the pair through
+    * transitive small buckets. The legacy un-scoped name fails loud with
+    * a migration message rather than capping everything.
     */
-  private[graft] def simBucketCap(spark: SparkSession): Int =
-    spark.conf.get("graft.sim.bucketcap", "0").toInt
+  private[graft] def simBucketCap(spark: SparkSession, key: String): Int = {
+    require(spark.conf.getOption("graft.sim.bucketcap").isEmpty,
+      "graft.sim.bucketcap is no longer a global dial: one value capped EVERY " +
+        "banded-candidate consumer in the session, so a cap tuned for dedup " +
+        "silently degraded top-1 routes. Set graft.sim.bucketcap.<key> for the " +
+        "consumer you mean (cosdedup, pairs, or adhoc for direct " +
+        "lshCandidateIds calls).")
+    spark.conf.get(s"graft.sim.bucketcap.$key", "0").toInt
+  }
 
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at
     * least one (table, bucket) under `nTables` tables of `planesPerTable`
@@ -168,7 +190,8 @@ object SimilarityOps extends QueryPack {
     */
   def lshCandidateIds(spark: SparkSession, dir: String,
       nTables: Int, planesPerTable: Int, within: Seq[String] = Nil,
-      probeBits: Int = 0, prefilterTheta: Option[Double] = None): DataFrame = {
+      probeBits: Int = 0, prefilterTheta: Option[Double] = None,
+      capKey: String = "adhoc"): DataFrame = {
     import spark.implicits._
     require(nTables * planesPerTable <= NPlanesMax,
       s"need ${nTables * planesPerTable} planes, have $NPlanesMax")
@@ -220,9 +243,10 @@ object SimilarityOps extends QueryPack {
     // uncapped: its join partner is the capped base stream, so probe
     // mass into a dropped bucket dies at the join and the output stays
     // bounded by |flipped| × cap.
-    val cap = simBucketCap(spark)
+    val cap = simBucketCap(spark, capKey)
     val bucketedC =
-      if (cap > 0) DedupOps.dropOversizedBuckets(bucketed, keys, cap)
+      if (cap > 0) DedupOps.dropOversizedBuckets(bucketed, keys, cap,
+        s"graft.sim.bucketcap.$capKey")
       else bucketed
     // int8_keep rejection runs in the self-join output stage, BEFORE any
     // pair reaches the distinct exchange — the filtered mass never shuffles
@@ -504,7 +528,7 @@ object SimilarityOps extends QueryPack {
         val (t, p) = bandShape(spark, "pairs", defTables = 16, defPlanes = 2)
         lshCandidateIds(spark, dir, nTables = t, planesPerTable = p,
           probeBits = probeBitsOf(spark, "pairs", p),
-          prefilterTheta = Some(PairsThreshold))
+          prefilterTheta = Some(PairsThreshold), capKey = "pairs")
           .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"label".as("l1")), Seq("v1"))
           .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"label".as("l2")), Seq("v2"))
           .withColumn("cos", expr("cosine_sim(e1, e2)"))

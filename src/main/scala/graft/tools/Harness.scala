@@ -232,7 +232,7 @@ object Corpora {
     * cap must not cost), and the rest is uniform background. Every LSH
     * table puts the whole hot cluster in one bucket, so uncapped
     * candidate mass grows as (hotFrac·n)² — the quadratic hazard
-    * `graft.sim.bucketcap` bounds — while the genuine clusters land in
+    * `graft.sim.bucketcap.cosdedup` bounds — while the genuine clusters land in
     * small buckets the cap keeps.
     */
   val GenuineFrac = 0.3
@@ -883,7 +883,7 @@ object Harness {
   }
 
   /** Round 13 (r12 verdict #2): measure the embedding-side quadratic
-    * bucket and the `graft.sim.bucketcap` dial on the dense-duplicate
+    * bucket and the `graft.sim.bucketcap.cosdedup` dial on the dense-duplicate
     * corpus ([[Corpora.generateDenseDupVectors]]). For each size: the
     * UNCAPPED banded candidate count (total + the slice among the planted
     * GENUINE clusters — the recall mass the cap must not cost), the
@@ -936,37 +936,53 @@ object Harness {
     for (n <- sizes) {
       val dir = Corpora.generateDenseDupVectors(spark, n, hotFrac)
       val (gLo, gHi) = ((n * hotFrac).toLong, (n * hotFrac).toLong + (n * Corpora.GenuineFrac).toLong)
-      def counts(): (Long, Long) = {
+      // a candidate pair is PLANTED iff both ids are genuine AND sit in
+      // the same generator cluster (consecutive-id modulus — the
+      // generateDenseDupVectors layout). The caponly recall bound divides
+      // by plantedGenuinePairs, so its numerator must count the same
+      // population: the previous genuine-RANGE numerator also counted
+      // cross-cluster band collisions, letting the printed "absolute
+      // recall bound" exceed 1.0 (round-14 advice #2). Same-cluster
+      // candidate pairs are a subset of planted pairs, so the fixed
+      // bound is ≤ 1.0 by construction.
+      val nClusters = math.max(1, (n * Corpora.GenuineFrac).toInt / Corpora.ClusterSize)
+      def counts(): (Long, Long, Long) = {
         // the cosdedup route's exact candidate shape (θ=0.9 int8
         // prefilter), counted without the float verify so the uncapped
         // quadratic mass is measurable without the JVM-killing join
         val c = SimilarityOps.lshCandidateIds(spark, dir, nTables = tables,
-          planesPerTable = planes, prefilterTheta = Some(DedupOps.CosDedupThreshold))
-        val r = c.agg(count(lit(1)),
-          count(when($"v1" >= gLo && $"v1" < gHi && $"v2" >= gLo && $"v2" < gHi, 1))).head
-        (r.getLong(0), r.getLong(1))
+          planesPerTable = planes, prefilterTheta = Some(DedupOps.CosDedupThreshold),
+          capKey = "cosdedup")
+        val genuine = $"v1" >= gLo && $"v1" < gHi && $"v2" >= gLo && $"v2" < gHi
+        val r = c.agg(count(lit(1)), count(when(genuine, 1)),
+          count(when(genuine && $"v1" % nClusters === $"v2" % nClusters, 1))).head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       def dedupWall(label: String): Unit = {
         val t = Corpora.timed(2)(noop(DedupOps.embeddingCosineDedup(spark, dir)))
         println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape $label dedup wall min=$t%.2fs")
       }
-      spark.conf.unset("graft.sim.bucketcap")
+      spark.conf.unset("graft.sim.bucketcap.cosdedup")
       val genU: Long = if (capOnly) {
         val denom = Corpora.plantedGenuinePairs(n)
         println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off SKIPPED (caponly); planted genuine pairs=$denom%,9d")
         denom
       } else {
-        val (allU, g) = counts()
+        val (allU, g, _) = counts()
         println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=off candidates=$allU%,12d genuine=$g%,9d")
         if (runFull) dedupWall("cap=off")
         g
       }
-      spark.conf.set("graft.sim.bucketcap", cap.toString)
-      val (allC, genC) = counts()
+      spark.conf.set("graft.sim.bucketcap.cosdedup", cap.toString)
+      val (allC, genC, plantedC) = counts()
+      // caponly: absolute bound, planted numerator over planted denominator
+      // (≤ 1.0); full A/B: relative like-for-like, capped genuine-range
+      // collisions over uncapped genuine-range collisions
+      val kept = if (capOnly) plantedC else genC
       println(f"SIMCAP n=$n%7d hot=${(n * hotFrac).toInt}%6d shape=$shape cap=$cap candidates=$allC%,12d genuine=$genC%,9d " +
-        f"genuineKept=${if (genU == 0) 1.0 else genC.toDouble / genU}%.4f${if (capOnly) " (vs planted)" else ""}")
+        f"genuineKept=${if (genU == 0) 1.0 else kept.toDouble / genU}%.4f${if (capOnly) " (planted/planted)" else ""}")
       dedupWall(s"cap=$cap")
-      spark.conf.unset("graft.sim.bucketcap")
+      spark.conf.unset("graft.sim.bucketcap.cosdedup")
     }
     spark.stop()
   }
@@ -1084,10 +1100,34 @@ object Harness {
     // a final-round equality probe. Counted over the contraction only
     // (the label-count job below runs outside the window).
     val jobs = new AtomicLong
+    @volatile var sentinelSeen: java.util.concurrent.CountDownLatch = null
+    val SentinelDesc = "ccchain-drain-sentinel"
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == SentinelDesc) {
+          val l = sentinelSeen
+          if (l != null) l.countDown()
+        } else jobs.incrementAndGet()
+      }
     })
+    // DETERMINISTIC listener drain (round 15, r14 advice #5 — the old
+    // Thread.sleep(300) could undercount jobs/round on a loaded box): the
+    // listener bus is async but delivers FIFO per listener, so once the
+    // sentinel job's JobStart reaches this listener, every contraction
+    // JobStart posted before it has too. The sentinel is excluded from
+    // the count by its job description.
+    def drainJobStarts(): Unit = {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      sentinelSeen = latch
+      spark.sparkContext.setJobDescription(SentinelDesc)
+      try spark.range(1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus did not deliver the drain sentinel within 60s")
+      sentinelSeen = null
+    }
     for (n <- sizes) {
       val nodes = spark.range(n).select($"id".as("doc_id"))
       val pairs = spark.range(n - 1).select($"id".as("d1"), ($"id" + 1).as("d2"))
@@ -1095,12 +1135,12 @@ object Harness {
       val j0 = jobs.get()
       val (labels, rounds) = DedupOps.starComponents(nodes, pairs)
       // wall covers the contraction only — captured BEFORE the listener
-      // drain sleep and the label-count verification job (the round-13
-      // review caught both riding inside the reported wall; the recorded
+      // drain and the label-count verification job (the round-13 review
+      // caught both riding inside the reported wall; the recorded
       // r12-vs-r13 A/B carried the same constant on both arms, so its
       // ratios stand, but absolute walls read ~0.3 s + one count high)
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus is async; let JobStart events drain
+      drainJobStarts()
       val nJobs = jobs.get() - j0
       val distinctLabels = labels.select($"label").distinct().count()
       println(f"CCCHAIN n=$n%8d diameter=${n - 1}%8d rounds=$rounds%3d " +

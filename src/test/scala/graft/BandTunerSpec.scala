@@ -144,6 +144,30 @@ class BandTunerSpec extends SparkSpec {
     assert(deep == sep, s"suggestion must be sampling-rate invariant: $sep vs $deep")
   }
 
+  test("suggestCapFrom: power-of-two ceiling in Long — tie-break holds at maxOk near 2^31") {
+    // r14 advice #1: the non-degenerate floor's power-of-two ceiling was
+    // computed in Int — at maxOk ≥ 2^30, `h * 2` overflowed negative, the
+    // final math.max silently returned the degenerate bound instead, and
+    // the suggested cap (2^30) excised the largest GENUINE cluster
+    // (~2^31 − 2 docs at corpus scale): the exact inversion of the
+    // documented recall-wins tie-break, in the function extracted to
+    // prevent that bug class. Scenario: s = 10k, n such that scale ≈
+    // 23.86M — the sampled 90-doc non-degenerate bucket reads ~2^31 − 2
+    // at corpus scale (maxOk ≥ 2^30), the sampled 100-doc degenerate
+    // bucket clamps to Int.MaxValue.
+    val s = 10000L
+    val n = 238609294000L
+    val maxOkCorpus =
+      math.min(math.ceil(90L * (n.toDouble / s)), Int.MaxValue.toDouble).toLong
+    assert(maxOkCorpus > Integer.highestOneBit(Int.MaxValue),
+      s"scenario must put maxOk past 2^30 to exercise the overflow: $maxOkCorpus")
+    val cap = BandTuner.suggestCapFrom(Array(90L, 100L), s, n)
+    assert(cap >= maxOkCorpus,
+      s"tie-break must favor recall (cap ≥ scaled non-degenerate max $maxOkCorpus), got $cap")
+    assert(cap == Int.MaxValue,
+      s"the Long power-of-two ceiling of ~2^31−2 clamps to Int.MaxValue, got $cap")
+  }
+
   test("over-cap sentinel docs price as always-kept, not as a size class") {
     // a doc past CardCapShingles carries n_sh = CardUnknown (0); the
     // deployed prefilter passes such rows through unconditionally, so the

@@ -282,16 +282,16 @@ class ExactnessSpec extends SparkSpec {
   }
 
   test("embedding bucket cap: a permissive cap is a no-op on the gate corpus") {
-    // graft.sim.bucketcap is the embedding-side twin of the minhash dial
+    // graft.sim.bucketcap.cosdedup is the embedding-side twin of the minhash dial
     // (round 13); with the cap above every gate bucket size the banded
     // dedup must change nothing — canonicals, counts, ordering
     val uncapped = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir)))
-    spark.conf.set("graft.sim.bucketcap", "1000000")
+    spark.conf.set("graft.sim.bucketcap.cosdedup", "1000000")
     try {
       val capped = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, sfDir)))
       assert(uncapped.nonEmpty && capped == uncapped,
         s"missing=${uncapped.toSet -- capped.toSet} spurious=${capped.toSet -- uncapped.toSet}")
-    } finally spark.conf.unset("graft.sim.bucketcap")
+    } finally spark.conf.unset("graft.sim.bucketcap.cosdedup")
   }
 
   test("embedding bucket cap: capped candidates ≡ the pairs-sharing-a-small-bucket reference") {
@@ -314,7 +314,7 @@ class ExactnessSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     try {
       val uncapped = pairsOf
-      spark.conf.set("graft.sim.bucketcap", cap.toString)
+      spark.conf.set("graft.sim.bucketcap.adhoc", cap.toString)
       val capped = pairsOf
       val membership = graft.core.Tables.embeddings(spark, dir)
         .select($"vec_id", posexplode(
@@ -333,6 +333,72 @@ class ExactnessSpec extends SparkSpec {
       assert(capped.size < uncapped.size,
         s"cap=$cap never bit: ${uncapped.size} pairs uncapped vs " +
           s"${capped.size} capped, max bucket $maxBucket vectors")
+    } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
+  }
+
+  test("embedding bucket cap below corpus/2^planes fails LOUD, not silently empty") {
+    // SCALE.md round 13 measured the footgun this guards: sign-LSH has
+    // only 2^planesPerTable buckets per table, so at 8×4 with 20k vectors
+    // every bucket holds ~1250 and a cap of 512 drops ALL of them — the
+    // candidate index silently emptied and a dedup would report "no
+    // near-dups" on a corpus full of them. The shared dropOversizedBuckets
+    // helper must now require-fail on exactly that shape (its sizes
+    // aggregation already walks the per-bucket counts, so the tripwire is
+    // one reused pass), naming the dial and the shape rule.
+    val dir = tools.Corpora.generateDenseDupVectors(spark, 20000)
+    spark.conf.set("graft.sim.bucketcap.adhoc", "512")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        // the guard fires at plan CONSTRUCTION (the helper's eager sizes
+        // pass) — no action needed for the failure to surface
+        SimilarityOps.lshCandidateIds(spark, dir, nTables = 8, planesPerTable = 4,
+          prefilterTheta = Some(DedupOps.CosDedupThreshold)).count()
+      }
+      assert(e.getMessage.contains("graft.sim.bucketcap.adhoc=512"), e.getMessage)
+      assert(e.getMessage.contains("2^planes"), e.getMessage)
+      assert(e.getMessage.contains("silently"), e.getMessage)
+    } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
+    // control: the SAME corpus and cap on a corpus-matched shape (8×10 =
+    // 1024 buckets/table, the SCALE.md r13 deployment shape) passes the
+    // guard and keeps a non-empty candidate set — the tripwire fires on
+    // the shape mismatch, not on the dial being on
+    spark.conf.set("graft.sim.bucketcap.adhoc", "512")
+    try {
+      val kept = SimilarityOps.lshCandidateIds(spark, dir, nTables = 8,
+        planesPerTable = 10, prefilterTheta = Some(DedupOps.CosDedupThreshold)).count()
+      assert(kept > 0, "matched shape must keep candidates under the same cap")
+    } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
+  }
+
+  test("sim bucket cap is scoped per consumer: a dedup-tuned cap cannot degrade other routes") {
+    // r14 advice #3: one global dial capped EVERY lshCandidateIds consumer
+    // in the session — a cap tuned to excise dedup's hot buckets silently
+    // degraded top-1/argmax and threshold routes too. Scoped per key
+    // (graft.sim.bucketcap.<key>, like the band shapes), a cosdedup cap
+    // must leave sim_cosine_topk and the banded pairs route bit-identical
+    // while still biting on its own consumer.
+    val dir = tools.Corpora.generateDenseDupVectors(spark, 1000)
+    val topkU = rowsOf(SimilarityOps.cosineTopK(spark, dir))
+    val pairsU = withCandidatePath(rowsOf(SimilarityOps.pairsAboveThreshold(spark, dir)))
+    val dedupU = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, dir)))
+    spark.conf.set("graft.sim.bucketcap.cosdedup", "64")
+    try {
+      assert(rowsOf(SimilarityOps.cosineTopK(spark, dir)) == topkU,
+        "the dedup-scoped cap leaked into the brute-force top-k route")
+      val pairsC = withCandidatePath(rowsOf(SimilarityOps.pairsAboveThreshold(spark, dir)))
+      assert(pairsC == pairsU, "the dedup-scoped cap leaked into the pairs route")
+      val dedupC = withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, dir)))
+      assert(dedupC != dedupU,
+        "cap=64 must still bite the 200-vector hot cluster on its OWN consumer")
+    } finally spark.conf.unset("graft.sim.bucketcap.cosdedup")
+    // the legacy un-scoped name is a loud migration error, not an
+    // everything-cap: misuse fails instead of silently degrading
+    spark.conf.set("graft.sim.bucketcap", "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, dir)))
+      }
+      assert(e.getMessage.contains("graft.sim.bucketcap.<key>"), e.getMessage)
     } finally spark.conf.unset("graft.sim.bucketcap")
   }
 

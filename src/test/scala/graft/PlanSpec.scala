@@ -256,7 +256,7 @@ class PlanSpec extends SparkSpec {
     // (sizes agg, cap semi-join, both self-join legs) must read the ONE
     // materialized (tbl,bucket,id,blob) stream — no scan+lsh_buckets
     // subtree may be duplicated into the plan
-    spark.conf.set("graft.sim.bucketcap", "64")
+    spark.conf.set("graft.sim.bucketcap.adhoc", "64")
     try {
       val plan = planOf(graft.functions.SimilarityOps.lshCandidateIds(
         spark, sfDir, nTables = 8, planesPerTable = 4,
@@ -264,7 +264,7 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Scan parquet"),
         s"capped embedding candidate plan rescans the corpus:\n$plan")
       assert(plan.contains("LeftSemi"), s"cap semi-join missing:\n$plan")
-    } finally spark.conf.unset("graft.sim.bucketcap")
+    } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
   }
 
   test("bucket cap: one signature pass — the capped candidate plan rescans nothing") {
