@@ -28,6 +28,34 @@ object Bench {
     "dedup_minhash_lsh",    // MinHash+LSH banding + verify
     "sim_cosine_topk")      // brute-force cosine top-k (codegen expr)
 
+  /** Machine-window calibration anchor (round 15 — r13 brief #4, validated
+    * by three uniform drift/recovery cycles on byte-identical code: r12
+    * 6.61 s → r13 7.26 s → r14 6.80 s officials with zero source change).
+    * One FIXED-WORK, Spark-free, single-threaded CPU figure — 50M chained
+    * XXH64 long hashes (the dependency chain defeats ILP/DCE, so the
+    * number tracks scalar CPU speed under the current machine load, the
+    * same resource the tiny-SF query walls are dominated by). Reported as
+    * `calib_sec` in the bench JSON: two rounds' totals divide out their
+    * calib ratio before anyone reads a drift as a regression. min-of-3
+    * inside one run; the chain result is folded into a side-effect so the
+    * JIT cannot elide the loop.
+    */
+  private def calibSec(): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def pass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      var h = 42L
+      var i = 0L
+      while (i < 50000000L) { h = XXH64.hashLong(h + i, 42L); i += 1 }
+      ((System.nanoTime() - t0) / 1e9, h)
+    }
+    val runs = Seq.fill(3)(pass())
+    // the hash values are data-dependent on the full chain: printing one
+    // keeps every iteration observable (stderr, not the JSON line)
+    System.err.println(s"[bench] calib chain=${runs.head._2}")
+    runs.map(_._1).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,7 +162,12 @@ object Bench {
     val bandedResults = measure(bandedSet)
     val bq = toJson(bandedResults)
     spark.conf.set("graft.sim.exact", "true")
+    // calibration anchor AFTER the measured passes: it shares the window
+    // that produced them without stealing cache/CPU warmth from the first
+    // warmup, and a load spike during measurement shows up in it
+    val calib = calibSec()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
+      f""""calib_sec":$calib%.4f,""" +
       s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently

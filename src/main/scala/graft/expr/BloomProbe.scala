@@ -36,6 +36,21 @@ case class BloomProbe(filterBytes: Array[Byte], child: Expression)
     "bloom_probe: empty filter")
 
   override def prettyName: String = "bloom_probe"
+
+  // Array[Byte] as a case-class field means the synthesized equals/
+  // hashCode compare by REFERENCE (round-14 advice #4): two probes built
+  // from equal serialized filters never canonicalized equal, silently
+  // defeating subexpression elimination and exchange reuse wherever the
+  // same filter is probed twice. Value equality restores the Expression
+  // contract (same pattern as Catalyst's Literal, which special-cases
+  // binary literals with Arrays.equals for exactly this reason).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomProbe =>
+      java.util.Arrays.equals(filterBytes, b.filterBytes) && child == b.child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(filterBytes) + child.hashCode()
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true

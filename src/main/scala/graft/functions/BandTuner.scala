@@ -52,10 +52,17 @@ final case class BandShapeAdvice(
       * pass-through), not size-classed — else their pairs would read as
       * killed and the bound would stop being an upper bound. */
     prefilterKeepFraction: Double = 1.0,
-    /** MinHash advice only (round 13, r12 verdict #4): a concrete value
-      * for the `graft.dedup.bucketcap` dial, or 0 when the sampled
-      * bucket-size distribution shows no degenerate buckets (no cap
-      * needed). Chosen as the LARGEST power of two strictly below the
+    /** A concrete value for the bucket-cap dial — `graft.dedup.bucketcap`
+      * from [[BandTuner.suggestMinhash]] (round 13, r12 verdict #4),
+      * `graft.sim.bucketcap.<key>` from [[BandTuner.suggest]] (round 15,
+      * r13 item #3) — or 0 when the sampled bucket-size distribution
+      * shows no degenerate buckets (no cap needed) OR, on the sign-LSH
+      * side, when the suggestion would land below corpus / 2^planes:
+      * there the SHAPE is mismatched (a cap below the uniform per-bucket
+      * load drops every bucket and empties the index — the measured
+      * SCALE.md r13 footgun, now also a runtime tripwire), so the advice
+      * refuses to name a cap rather than name a fatal one.
+      * Chosen as the LARGEST power of two strictly below the
       * smallest DEGENERATE bucket scaled to the corpus — degenerate =
       * holding ≥ max(16, 1% of sampled docs) docs (boilerplate-driven
       * buckets hold a constant corpus FRACTION so the 1%-of-sample
@@ -214,38 +221,62 @@ object BandTuner {
         case other => sys.error(s"corpus count metric came back as $other")
       }
       val exactPairs = s.toDouble * (s - 1) / 2
-      val mass =
-        if (s < 2) 0.0
-        else if (bits == 0)
-          sample
-            .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
-              .as(Seq("tbl", "bucket")))
-            .groupBy($"tbl", $"bucket").count()
-            .agg(coalesce(sum($"count" * ($"count" - 1)), lit(0L)))
-            .head.getLong(0) / 2.0
+      // one (tbl,bucket → size) aggregation feeds the mass estimate AND
+      // the bucket-cap suggestion's size distribution (round 15 — the
+      // minhash advisor's one-pass pattern transposed); checkpointed so
+      // the two consumers read it instead of re-bucketing the sample
+      val (mass, cap) =
+        if (s < 2) (0.0, 0)
         else {
-          // probed volume is asymmetric (probe rows × base rows), priced by
-          // joining the sample's per-bucket probe counts against its base
-          // counts: Σ pc·bc counts directed discoveries incl. each row's
-          // self-match through its base slot (s·nTables of them). /2 maps
-          // directed to unordered — a pair only one side probes into
-          // contributes ½ instead of 1, which the per-table union bound's
-          // overcount offsets; the advisor's margin-based recommendation
-          // absorbs the residual (validated against measurement, SCALE.md).
-          val base = sample
+          val sizes = sample
             .select(posexplode(expr(s"lsh_buckets(embedding, $nTables, $planes)"))
               .as(Seq("tbl", "bucket")))
             .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("bc"))
-          val probe = sample
-            .select(posexplode(
-              expr(s"lsh_probes(embedding, $nTables, $planes, $bits)"))
-              .as(Seq("pos", "bucket")))
-            .withColumn("tbl", expr(s"pos div ${1 + bits}").cast("int"))
-            .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("pc"))
-          val directed = probe.join(base, Seq("tbl", "bucket"))
-            .agg(coalesce(sum($"pc" * $"bc"), lit(0L)))
-            .head.getLong(0)
-          (directed - s.toDouble * nTables) / 2.0
+            .localCheckpoint(true)
+          val m =
+            if (bits == 0)
+              sizes.agg(coalesce(sum($"bc" * ($"bc" - 1)), lit(0L)))
+                .head.getLong(0) / 2.0
+            else {
+              // probed volume is asymmetric (probe rows × base rows), priced by
+              // joining the sample's per-bucket probe counts against its base
+              // counts: Σ pc·bc counts directed discoveries incl. each row's
+              // self-match through its base slot (s·nTables of them). /2 maps
+              // directed to unordered — a pair only one side probes into
+              // contributes ½ instead of 1, which the per-table union bound's
+              // overcount offsets; the advisor's margin-based recommendation
+              // absorbs the residual (validated against measurement, SCALE.md).
+              val probe = sample
+                .select(posexplode(
+                  expr(s"lsh_probes(embedding, $nTables, $planes, $bits)"))
+                  .as(Seq("pos", "bucket")))
+                .withColumn("tbl", expr(s"pos div ${1 + bits}").cast("int"))
+                .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("pc"))
+              val directed = probe.join(sizes, Seq("tbl", "bucket"))
+                .agg(coalesce(sum($"pc" * $"bc"), lit(0L)))
+                .head.getLong(0)
+              (directed - s.toDouble * nTables) / 2.0
+            }
+          // bucket-cap suggestion for `graft.sim.bucketcap.<key>` (round
+          // 15, r13 item #3 / r14 brief #4): the same sampled-size rule as
+          // the minhash advisor (suggestCapFrom scaladoc carries the
+          // recall argument). Distinct sizes are model state (≤ a few
+          // hundred values at any sample size). The cap applies per
+          // (table, bucket) group, exactly the population sampled here.
+          val szs = sizes.select($"bc").distinct().collect().map(_.getLong(0))
+          val raw = suggestCapFrom(szs, s, n)
+          // SHAPE-PRECONDITION cross-check (the SCALE.md r13 measured
+          // footgun, now also a runtime tripwire in dropOversizedBuckets):
+          // sign-LSH has only 2^planes buckets per table, so a cap below
+          // corpus / 2^planes puts EVERY bucket over the cap and empties
+          // the index. A suggestion landing below that floor means the
+          // SHAPE is mismatched to the corpus (too few buckets to separate
+          // hot clusters from background) — refuse to name a cap rather
+          // than name a fatal one; the remedy is a sharper shape, priced
+          // by re-running suggest at more planes.
+          val c = if (raw > 0 && raw.toDouble < n.toDouble / math.pow(2.0, planes)) 0
+            else raw
+          (m, c)
         }
       val frac =
         if (exactPairs == 0) 1.0 else math.min(1.0, mass / exactPairs)
@@ -264,7 +295,8 @@ object BandTuner {
         // the -1 pole), the shape tried must not be recommended however
         // well it prices
         recommendBanded = speedup >= minSpeedup && recallOf(planes) >= recallFloor,
-        probeBits = bits)
+        probeBits = bits,
+        suggestedBucketCap = cap)
     } finally {
       sample.unpersist()
       ()

@@ -332,9 +332,10 @@ object Formats extends QueryPack {
     *  - in-memory: `stat.bloomFilter` builds the sketch distributed
     *    (bitset-OR tree aggregation — map-combinable, one small driver
     *    object at the end, like a broadcast-join build side) and probes it
-    *    per key. The probe is a tiny closure over the immutable bitset —
-    *    the one place a UDF is the right tool (no native bloom-apply
-    *    expression exists; the sketch object is opaque to codegen).
+    *    per key through the native `bloom_probe` kernel
+    *    ([[graft.expr.BloomProbe]] — the decontamination path's
+    *    whole-stage-codegen probe, round 15 unifying the engine's last
+    *    avoidable ScalaUDF onto it; PlanSpec pins the plan UDF-free).
     *
     * Emitted rows are customers THAT HAVE orders: the bloom
     * no-false-negative contract forces might_contain=true for every one —
@@ -356,11 +357,17 @@ object Formats extends QueryPack {
       .parquet(path)
     val orders = spark.read.parquet(path)
     val bf = orders.stat.bloomFilter("o_custkey", 100000L, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
+    graft.plans.GraftFunctions.register(spark)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     Tables.customer(spark, dir)
       .join(orders.select($"o_custkey".as("c_custkey")).distinct(),
         Seq("c_custkey"), "left_semi")
-      .select($"c_custkey", mightContain($"c_custkey").as("might_contain"))
+      .select($"c_custkey",
+        call_function("bloom_probe", lit(bytes), $"c_custkey").as("might_contain"))
       .orderBy($"c_custkey")
   }
 

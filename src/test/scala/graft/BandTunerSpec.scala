@@ -168,6 +168,42 @@ class BandTunerSpec extends SparkSpec {
       s"the Long power-of-two ceiling of ~2^31−2 clamps to Int.MaxValue, got $cap")
   }
 
+  test("sign-LSH advisor names a bucket cap on a matched shape, refuses on a mismatched one") {
+    // r13 item #3 / r14 brief #4: the embedding-side dial
+    // (graft.sim.bucketcap.<key>) gets the same advisor support as the
+    // minhash dial — with the shape-precondition cross-check the measured
+    // footgun demands (SCALE.md r13: at 8×4 on this corpus every bucket
+    // holds ~1250 and cap 512 silently emptied the index; the runtime
+    // tripwire now fails that loud, and the ADVICE must never name it).
+    val dir = Corpora.generateDenseDupVectors(spark, 20000)
+    // θ = 0.9 picks 8 planes (2^8 = 256 buckets/table) — corpus-matched:
+    // the 4000-vector hot cluster collapses into one degenerate bucket
+    // per table while genuine 50-vector clusters and background stay far
+    // below the degeneracy threshold. The suggestion must be finite, in
+    // the decade of the SCALE.md-validated 512, and above the
+    // corpus/2^planes floor the runtime tripwire enforces.
+    val matched = BandTuner.suggest(spark, dir, threshold = 0.9)
+    info(s"matched: $matched")
+    assert(matched.planesPerTable >= 8,
+      s"scenario needs ≥ 2^8 buckets per table to be corpus-matched: $matched")
+    assert(matched.suggestedBucketCap > 0,
+      s"expected a cap on the dense-duplicate corpus: $matched")
+    assert(matched.suggestedBucketCap >= 52 && matched.suggestedBucketCap <= 5120,
+      s"suggestion must be within an order of magnitude of the measured 512: $matched")
+    assert(matched.suggestedBucketCap.toDouble >=
+      matched.corpusVectors.toDouble / math.pow(2.0, matched.planesPerTable),
+      s"a suggested cap must clear the shape floor it would be deployed under: $matched")
+    // θ = 0.7 caps planes at 4 (16 buckets/table): at 20k vectors every
+    // bucket is over ANY cap that would excise the hot mass — the advice
+    // must refuse to suggest one, not hand back the silent-empty 512
+    val mismatched = BandTuner.suggest(spark, dir, threshold = 0.7)
+    info(s"mismatched: $mismatched")
+    assert(mismatched.planesPerTable <= 5,
+      s"scenario needs a too-coarse shape for the refusal to exercise: $mismatched")
+    assert(mismatched.suggestedBucketCap == 0,
+      s"a cap below corpus/2^planes must be refused, not suggested: $mismatched")
+  }
+
   test("over-cap sentinel docs price as always-kept, not as a size class") {
     // a doc past CardCapShingles carries n_sh = CardUnknown (0); the
     // deployed prefilter passes such rows through unconditionally, so the

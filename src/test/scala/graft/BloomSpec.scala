@@ -33,6 +33,38 @@ class BloomSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("BloomProbe compares by filter VALUE, not array reference") {
+    // r14 advice #4: Array[Byte] as a case-class field synthesizes
+    // reference equality — two probes built from equal serialized filters
+    // never canonicalized equal, silently defeating subexpression
+    // elimination and exchange reuse. Equal bytes (distinct arrays) must
+    // compare and hash equal, and canonicalize equal; different filters
+    // must not.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+    (1L to 50L).foreach(bf.putLong)
+    def bytesOf(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      bos.toByteArray
+    }
+    val b1 = bytesOf(bf)
+    val b2 = b1.clone()
+    assert(!(b1 eq b2) && java.util.Arrays.equals(b1, b2))
+    val key = AttributeReference("k", LongType)()
+    val (p1, p2) = (graft.expr.BloomProbe(b1, key), graft.expr.BloomProbe(b2, key))
+    assert(p1 == p2, "equal filter bytes must compare equal")
+    assert(p1.hashCode == p2.hashCode, "equal probes must hash equal")
+    assert(p1.semanticEquals(p2), "equal probes must canonicalize equal")
+    val other = org.apache.spark.util.sketch.BloomFilter.create(100L, 0.01)
+    other.putLong(99L)
+    val p3 = graft.expr.BloomProbe(bytesOf(other), key)
+    assert(p1 != p3, "different filters must not compare equal")
+    assert(p1 != graft.expr.BloomProbe(b1, Literal(7L)),
+      "same filter over a different child must not compare equal")
+  }
+
   test("bloom membership: zero false negatives, bounded false positives") {
     val orders = Tables.orders(spark, sfDir)
     val bf = orders.stat.bloomFilter("o_custkey", 100000L, 0.01)

@@ -250,6 +250,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.text.decontam.bloom")
   }
 
+  test("bloom membership probes through the native kernel — no ScalaUDF anywhere in the plan") {
+    // round 15 (r13 brief #2 / r14 brief #5): the BloomMapFile membership
+    // probe was the engine's last avoidable ScalaUDF — an opaque closure
+    // that broke whole-stage codegen in its projection. It must ride the
+    // same BloomProbe kernel as the decontamination path; a regression to
+    // any UDF form fails here.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = graft.sources.Formats.bloomMembership(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collectFirst {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[graft.expr.BloomProbe])) => p
+    }.nonEmpty, s"no native bloom_probe in the membership plan:\n$plan")
+    assert(plan.collectFirst {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
+    }.isEmpty, s"the membership probe regressed to a ScalaUDF:\n$plan")
+  }
+
   test("embedding bucket cap: one bucketing pass — the capped candidate plan rescans nothing") {
     // the embedding-side twin of the minhash one-pass pin below: with
     // graft.sim.bucketcap set, every consumer of the bucketed stream
