@@ -386,28 +386,45 @@ object DedupOps extends QueryPack {
   private[functions] def dropOversizedBuckets(
       bucketed: DataFrame, keys: Seq[String], cap: Int, dial: String): DataFrame = {
     val bMat = bucketed.localCheckpoint(false)
+    // eager checkpoint: the groupBy over the band stream runs ONCE — the
+    // tripwire stats and the semi-join build side below both read the
+    // materialized (keys, bkt_n) frame (one narrow row per bucket), not
+    // re-run the corpus-proportional aggregation (round-15 review)
     val sizes = bMat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bkt_n"))
+      .localCheckpoint(true)
     val bn = col("bkt_n")
     val st = sizes.agg(
       coalesce(sum(bn), lit(0L)).as("total"),
       coalesce(sum(when(bn > cap, bn)), lit(0L)).as("over"),
       count(lit(1)).as("buckets"),
       coalesce(sum(when(bn > cap, lit(1L))), lit(0L)).as("overBuckets"),
-      coalesce(min(bn), lit(0L)).as("minBucket")).head
+      coalesce(min(when(bn > cap, bn)), lit(0L)).as("minOver")).head
     val (total, over) = (st.getLong(0), st.getLong(1))
-    val (buckets, overBuckets, minBucket) =
+    val (buckets, overBuckets, minOver) =
       (st.getLong(2), st.getLong(3), st.getLong(4))
+    // remediation differs by dial: the sign-LSH dials have 2^planes
+    // buckets per table (the measured corpus/2^planes rule); the minhash
+    // dial's band buckets are hashed band values, where the fix is more
+    // rows per band, not more buckets
+    val remedy =
+      if (dial.startsWith("graft.sim.bucketcap"))
+        "This is a band-SHAPE mismatch, not a corpus property: sign-LSH has " +
+          "2^planes buckets per table, so a cap below corpus/2^planes puts " +
+          s"every bucket over the cap. Raise the cap to at least the smallest " +
+          s"over-cap bucket ($minOver) or sharpen the shape (more planes per " +
+          "table via graft.sim.bands.<key>; BandTuner.suggest names a " +
+          "corpus-matched shape and cap)."
+      else
+        "Nearly every band bucket is degenerate at this shape: raise the cap " +
+          s"to at least the smallest over-cap bucket ($minOver) or sharpen the " +
+          "bands (more rows per band via graft.sim.bands.minhash; " +
+          "BandTuner.suggestMinhash names a corpus-matched shape and cap)."
     require(total == 0L || over < 0.99 * total,
       s"$dial=$cap would drop ${if (over == total) "ALL" else s"$over of $total"} " +
-        s"bucketed rows ($overBuckets of $buckets buckets over the cap; smallest " +
-        s"bucket holds $minBucket) — the candidate index would be silently " +
-        "empty(ish) and the dedup would report no near-dups on any corpus. This " +
-        "is a band-SHAPE mismatch, not a corpus property: with 2^planes buckets " +
-        "per table, a cap below corpus/2^planes puts every bucket over the cap. " +
-        s"Raise the cap above the typical bucket size (here ≥ $minBucket) or " +
-        "sharpen the shape (more planes per table via graft.sim.bands.<key>; " +
-        "BandTuner.suggest / suggestMinhash name a corpus-matched shape and cap).")
-    val small = sizes.filter(col("bkt_n") <= cap).select(keys.map(col): _*)
+        s"bucketed rows ($overBuckets of $buckets buckets over the cap) — the " +
+        "candidate index would be silently empty(ish) and the dedup would " +
+        s"report no near-dups on any corpus. $remedy")
+    val small = sizes.filter(bn <= cap).select(keys.map(col): _*)
     bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
   }
 

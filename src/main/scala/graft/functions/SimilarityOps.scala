@@ -154,7 +154,11 @@ object SimilarityOps extends QueryPack {
     * a migration message rather than capping everything.
     */
   private[graft] def simBucketCap(spark: SparkSession, key: String): Int = {
-    require(spark.conf.getOption("graft.sim.bucketcap").isEmpty,
+    // a legacy value that PARSES to off (≤ 0, the documented old default)
+    // stays the no-op it always was; anything else — a real cap or
+    // garbage — fails loud with the migration message
+    require(spark.conf.getOption("graft.sim.bucketcap")
+        .forall(v => v.toIntOption.exists(_ <= 0)),
       "graft.sim.bucketcap is no longer a global dial: one value capped EVERY " +
         "banded-candidate consumer in the session, so a cap tuned for dedup " +
         "silently degraded top-1 routes. Set graft.sim.bucketcap.<key> for the " +

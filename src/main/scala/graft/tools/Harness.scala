@@ -1100,37 +1100,51 @@ object Harness {
     // a final-round equality probe. Counted over the contraction only
     // (the label-count job below runs outside the window).
     val jobs = new AtomicLong
+    val SentinelPrefix = "ccchain-drain-sentinel-"
+    val drainSeq = new AtomicLong
+    @volatile var expectedSentinel: String = null
     @volatile var sentinelSeen: java.util.concurrent.CountDownLatch = null
-    val SentinelDesc = "ccchain-drain-sentinel"
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
           .map(_.getProperty("spark.job.description")).orNull
-        if (desc == SentinelDesc) {
+        if (desc != null && desc.startsWith(SentinelPrefix)) {
+          // any sentinel job is excluded from the count; only THIS drain's
+          // sentinel (unique suffix) releases the latch — a late-delivered
+          // event from a prior drain's extra AQE sub-job must not count a
+          // later drain down early (round-15 review)
           val l = sentinelSeen
-          if (l != null) l.countDown()
+          if (l != null && desc == expectedSentinel) l.countDown()
         } else jobs.incrementAndGet()
       }
     })
     // DETERMINISTIC listener drain (round 15, r14 advice #5 — the old
     // Thread.sleep(300) could undercount jobs/round on a loaded box): the
     // listener bus is async but delivers FIFO per listener, so once the
-    // sentinel job's JobStart reaches this listener, every contraction
-    // JobStart posted before it has too. The sentinel is excluded from
-    // the count by its job description.
+    // sentinel job's JobStart reaches this listener, every JobStart
+    // posted before it has too. Sentinels are excluded from the count by
+    // their job-description prefix.
     def drainJobStarts(): Unit = {
       val latch = new java.util.concurrent.CountDownLatch(1)
+      val desc = SentinelPrefix + drainSeq.incrementAndGet()
+      expectedSentinel = desc
       sentinelSeen = latch
-      spark.sparkContext.setJobDescription(SentinelDesc)
+      spark.sparkContext.setJobDescription(desc)
       try spark.range(1).count()
       finally spark.sparkContext.setJobDescription(null)
       require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
         "listener bus did not deliver the drain sentinel within 60s")
       sentinelSeen = null
+      expectedSentinel = null
     }
     for (n <- sizes) {
       val nodes = spark.range(n).select($"id".as("doc_id"))
       val pairs = spark.range(n - 1).select($"id".as("d1"), ($"id" + 1).as("d2"))
+      // drain BEFORE capturing j0 too: the previous iteration's
+      // label-count verification job posts its JobStart events after that
+      // iteration's drain, and under bus lag they would otherwise land
+      // inside THIS window and inflate its jobs/round (round-15 review)
+      drainJobStarts()
       val t0 = System.nanoTime()
       val j0 = jobs.get()
       val (labels, rounds) = DedupOps.starComponents(nodes, pairs)
