@@ -40,13 +40,18 @@ object Bench {
     * inside one run; the chain result is folded into a side-effect so the
     * JIT cannot elide the loop.
     */
-  private def calibSec(): Double = {
+  private def chain(seed: Long, n: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = seed
+    var i = 0L
+    while (i < n) { h = XXH64.hashLong(h + i, 42L); i += 1 }
+    h
+  }
+
+  private def calibSec(): Double = {
     def pass(): (Double, Long) = {
       val t0 = System.nanoTime()
-      var h = 42L
-      var i = 0L
-      while (i < 50000000L) { h = XXH64.hashLong(h + i, 42L); i += 1 }
+      val h = chain(42L, 50000000L)
       ((System.nanoTime() - t0) / 1e9, h)
     }
     val runs = Seq.fill(3)(pass())
@@ -54,6 +59,31 @@ object Bench {
     // keeps every iteration observable (stderr, not the JSON line)
     System.err.println(s"[bench] calib chain=${runs.head._2}")
     runs.map(_._1).min
+  }
+
+  /** Multi-threaded twin of [[calibSec]]: the SAME fixed work per thread
+    * on every available core at once, reporting the wall of the slowest
+    * thread (min-of-3 rounds). The single-threaded anchor tracks scalar
+    * CPU speed (frequency/thermal state); this one additionally feels
+    * CO-TENANT CORE CONTENTION — the round-15 closing window measured
+    * query totals +25% with the single-threaded anchor UNMOVED (0.463 s
+    * in both windows), proving that window was parallel-throughput
+    * contention, invisible to one pinned thread. Reading rule: totals
+    * drifting with calib_mt_sec (and calib_sec flat) = contended machine;
+    * both flat with totals moved = look at the code.
+    */
+  private def calibMtSec(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => { val h = chain(42L + t, 20000000L); if (h == 0) System.err.println("") })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => pass()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,8 +196,9 @@ object Bench {
     // that produced them without stealing cache/CPU warmth from the first
     // warmup, and a load spike during measurement shows up in it
     val calib = calibSec()
+    val calibMt = calibMtSec()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
-      f""""calib_sec":$calib%.4f,""" +
+      f""""calib_sec":$calib%.4f,"calib_mt_sec":$calibMt%.4f,""" +
       s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently
