@@ -400,6 +400,14 @@ class ExactnessSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("graft.sim.bucketcap.<key>"), e.getMessage)
     } finally spark.conf.unset("graft.sim.bucketcap")
+    // …but a legacy value that parses to OFF (0 was the documented old
+    // default) stays the no-op it always was — a session that had
+    // explicitly disabled the old dial must not crash on upgrade
+    spark.conf.set("graft.sim.bucketcap", "0")
+    try {
+      assert(withCandidatePath(rowsOf(DedupOps.embeddingCosineDedup(spark, dir))) == dedupU,
+        "legacy bucketcap=0 must remain a no-op")
+    } finally spark.conf.unset("graft.sim.bucketcap")
   }
 
   test("plantedGenuinePairs matches the dense-dup generator's cluster layout") {
