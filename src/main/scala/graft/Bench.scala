@@ -28,18 +28,9 @@ object Bench {
     "dedup_minhash_lsh",    // MinHash+LSH banding + verify
     "sim_cosine_topk")      // brute-force cosine top-k (codegen expr)
 
-  /** Machine-window calibration anchor (round 15 — r13 brief #4, validated
-    * by three uniform drift/recovery cycles on byte-identical code: r12
-    * 6.61 s → r13 7.26 s → r14 6.80 s officials with zero source change).
-    * One FIXED-WORK, Spark-free, single-threaded CPU figure — 50M chained
-    * XXH64 long hashes (the dependency chain defeats ILP/DCE, so the
-    * number tracks scalar CPU speed under the current machine load, the
-    * same resource the tiny-SF query walls are dominated by). Reported as
-    * `calib_sec` in the bench JSON: two rounds' totals divide out their
-    * calib ratio before anyone reads a drift as a regression. min-of-3
-    * inside one run; the chain result is folded into a side-effect so the
-    * JIT cannot elide the loop.
-    */
+  /** One dependency chain of `n` XXH64 long hashes — the fixed work unit
+    * behind BOTH calibration anchors below (the chain defeats ILP and
+    * DCE, so its wall tracks scalar CPU speed, not issue width). */
   private def chain(seed: Long, n: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     var h = seed
@@ -48,6 +39,16 @@ object Bench {
     h
   }
 
+  /** Machine-window calibration anchor (round 15 — r13 brief #4, validated
+    * by three uniform drift/recovery cycles on byte-identical code: r12
+    * 6.61 s → r13 7.26 s → r14 6.80 s officials with zero source change).
+    * One FIXED-WORK, Spark-free, single-threaded CPU figure — 50M chained
+    * XXH64 long hashes — tracking scalar CPU speed under the current
+    * machine load. Reported as `calib_sec` in the bench JSON: two rounds'
+    * totals divide out their calib ratio before anyone reads a drift as a
+    * regression. min-of-3 inside one run; the chain result is folded into
+    * a side-effect so the JIT cannot elide the loop.
+    */
   private def calibSec(): Double = {
     def pass(): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -70,9 +71,14 @@ object Bench {
     * in both windows), proving that window was parallel-throughput
     * contention, invisible to one pinned thread. Reading rule: totals
     * drifting with calib_mt_sec (and calib_sec flat) = contended machine;
-    * both flat with totals moved = look at the code.
+    * both flat with totals moved = look at the code. The thread count
+    * rides the JSON as `calib_mt_threads`: per-thread work is fixed, so
+    * the figure is only comparable between runs at the SAME width — a
+    * resized machine (or a different cpus dial) would move it for
+    * capacity reasons, and the recorded width lets a reader tell the two
+    * apart instead of mis-reading a resize as contention.
     */
-  private def calibMtSec(): Double = {
+  private def calibMtSec(): (Int, Double) = {
     val threads = Runtime.getRuntime.availableProcessors()
     def pass(): Double = {
       val t0 = System.nanoTime()
@@ -83,7 +89,7 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    (1 to 3).map(_ => pass()).min
+    (threads, (1 to 3).map(_ => pass()).min)
   }
 
   def main(args: Array[String]): Unit = {
@@ -196,9 +202,9 @@ object Bench {
     // that produced them without stealing cache/CPU warmth from the first
     // warmup, and a load spike during measurement shows up in it
     val calib = calibSec()
-    val calibMt = calibMtSec()
+    val (calibMtThreads, calibMt) = calibMtSec()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
-      f""""calib_sec":$calib%.4f,"calib_mt_sec":$calibMt%.4f,""" +
+      f""""calib_sec":$calib%.4f,"calib_mt_sec":$calibMt%.4f,"calib_mt_threads":$calibMtThreads,""" +
       s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently
