@@ -92,6 +92,16 @@ object Bench {
     (threads, (1 to 3).map(_ => pass()).min)
   }
 
+  /** Locale-independent 4-decimal JSON number — Locale.ROOT, not the
+    * f-interpolator (round-16 advice #4): f"" formats with the JVM
+    * default locale, and a comma-decimal locale (fr_FR, de_DE) would turn
+    * the one-line bench contract into invalid JSON. Double.toString (the
+    * min-of-passes values in `toJson`) is locale-independent already;
+    * only %-style formatting isn't.
+    */
+  private[graft] def num4(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -181,7 +191,7 @@ object Bench {
       results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def samplesJson(results: Seq[(String, Double, Seq[Double])]): String =
       results.map { case (k, _, all) =>
-        "\"" + k + "\":" + all.map(t => f"$t%.4f").mkString("[", ",", "]")
+        "\"" + k + "\":" + all.map(num4).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val results = measure(headline)
     val qs = toJson(results)
@@ -204,7 +214,7 @@ object Bench {
     val calib = calibSec()
     val (calibMtThreads, calibMt) = calibMtSec()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
-      f""""calib_sec":$calib%.4f,"calib_mt_sec":$calibMt%.4f,"calib_mt_threads":$calibMtThreads,""" +
+      s""""calib_sec":${num4(calib)},"calib_mt_sec":${num4(calibMt)},"calib_mt_threads":$calibMtThreads,""" +
       s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently

@@ -44,13 +44,24 @@ case class BloomProbe(filterBytes: Array[Byte], child: Expression)
   // same filter is probed twice. Value equality restores the Expression
   // contract (same pattern as Catalyst's Literal, which special-cases
   // binary literals with Arrays.equals for exactly this reason).
+  //
+  // The bytes hash is CACHED (round-16 advice #2): Catalyst calls
+  // equals/hashCode repeatedly per optimizer pass (canonicalization,
+  // subexpression-elimination maps, exchange-reuse lookups), and the
+  // serialized filter is megabytes — re-hashing it each call made every
+  // pass corpus-filter-proportional. One hash per JVM instance instead;
+  // equals compares the cached ints first so unequal filters never touch
+  // the byte arrays, and equal-instance lookups (the common map-hit case)
+  // pay Arrays.equals only on a genuine candidate match.
+  @transient private lazy val filterBytesHash: Int =
+    java.util.Arrays.hashCode(filterBytes)
   override def equals(other: Any): Boolean = other match {
     case b: BloomProbe =>
-      java.util.Arrays.equals(filterBytes, b.filterBytes) && child == b.child
+      filterBytesHash == b.filterBytesHash && child == b.child &&
+        java.util.Arrays.equals(filterBytes, b.filterBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * java.util.Arrays.hashCode(filterBytes) + child.hashCode()
+  override def hashCode(): Int = 31 * filterBytesHash + child.hashCode()
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true

@@ -164,7 +164,12 @@ object SimilarityOps extends QueryPack {
         "silently degraded top-1 routes. Set graft.sim.bucketcap.<key> for the " +
         "consumer you mean (cosdedup, pairs, or adhoc for direct " +
         "lshCandidateIds calls).")
-    spark.conf.get(s"graft.sim.bucketcap.$key", "0").toInt
+    // parse like [[probeBitsOf]]: a non-numeric value fails naming the
+    // KEY and the expected form, not with a bare NumberFormatException
+    // that names neither (round-16 advice #3)
+    val raw = spark.conf.get(s"graft.sim.bucketcap.$key", "0")
+    raw.toIntOption.getOrElse(sys.error(
+      s"graft.sim.bucketcap.$key must be an int bucket cap (<= 0 = off), got '$raw'"))
   }
 
   /** Banded candidate pairs: distinct (v1 < v2) id pairs that share at

@@ -219,4 +219,36 @@ class OpsExtrasSpec extends SparkSpec {
       assert(steps == 1 + tClick.size + tPurch.size)
     }
   }
+
+  test("bench JSON numbers are locale-independent (comma-decimal locale)") {
+    // the bench contract is ONE machine-readable JSON line; f"$x%.4f"
+    // formats with the JVM default locale, so a comma-decimal host
+    // (fr_FR) would emit {"calib_sec":0,4580} — invalid JSON. num4 pins
+    // Locale.ROOT (round-16 advice #4).
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.FRANCE)
+    try {
+      assert(f"${0.458}%.4f" == "0,4580", "locale flip did not take — test vacuous")
+      assert(Bench.num4(0.458) == "0.4580")
+      assert(Bench.num4(6.5432109) == "6.5432")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("scoped sim bucket cap parse failure names the key and the form") {
+    // round-16 advice #3: garbage in a SCOPED cap key must fail naming
+    // the key and expected form, not with a bare NumberFormatException
+    // (the legacy-key migration message covers only the un-scoped name)
+    spark.conf.set("graft.sim.bucketcap.cosdedup", "abc")
+    try {
+      val e = intercept[RuntimeException] {
+        graft.functions.SimilarityOps.simBucketCap(spark, "cosdedup")
+      }
+      assert(e.getMessage.contains("graft.sim.bucketcap.cosdedup"), e.getMessage)
+      assert(e.getMessage.contains("'abc'"), e.getMessage)
+    } finally spark.conf.unset("graft.sim.bucketcap.cosdedup")
+    // and a well-formed scoped value still parses
+    spark.conf.set("graft.sim.bucketcap.cosdedup", "512")
+    try assert(graft.functions.SimilarityOps.simBucketCap(spark, "cosdedup") == 512)
+    finally spark.conf.unset("graft.sim.bucketcap.cosdedup")
+  }
 }
