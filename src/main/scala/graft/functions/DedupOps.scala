@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends QueryPack {
 
+  // explicit name (not getClass, whose `$` suffix varies) so the
+  // ExactnessSpec warn-tier appender can address this logger exactly
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.functions.DedupOps")
+
   /** THE normalization under every content identity in the library —
     * shared (package-visible) so TextOps' fingerprints and corpus-select
     * dedup verdict cannot drift from the dedup pack's definition.
@@ -367,21 +371,35 @@ object DedupOps extends QueryPack {
     * corpus-proportional — broadcast is never the scale-correct strategy
     * for it. Callers gate on cap > 0.
     *
-    * EMPTY-INDEX TRIPWIRE (round 15 — r13's #1 ordered fix): a cap below
-    * corpus / buckets-per-table puts EVERY bucket over the cap and the
-    * drop silently returns an empty candidate set — a dedup run that
-    * quietly reports "no near-dups" on a corpus full of them (measured,
-    * SCALE.md round 13: sign-LSH 8×4 at 20k vectors with cap 512 → 0
-    * candidates; every bucket held ~1250). The sizes aggregation this
-    * helper computes anyway makes the check nearly free: ONE eager pass
-    * over the checkpointed blocks at construction (blocks the first
-    * consumer would materialize immediately after), and if over-cap
-    * buckets hold ≥ 99% of all bucketed rows the helper `require`-fails
-    * with the shape arithmetic instead of handing downstream an empty
-    * index. 99%, not 100%: the failure mode is a SHAPE mismatch (too few
-    * buckets per table), which drowns every bucket at once — a corpus
-    * that is 95% one hot cluster on a matched shape still keeps its
-    * background buckets and is exactly what the cap is for.
+    * EMPTY-INDEX TRIPWIRE (round 15 — r13's #1 ordered fix; discriminator
+    * reworked round 16 per advice #1): a cap below corpus /
+    * buckets-per-table puts EVERY bucket over the cap and the drop
+    * silently returns an empty candidate set — a dedup run that quietly
+    * reports "no near-dups" on a corpus full of them (measured, SCALE.md
+    * round 13: sign-LSH 8×4 at 20k vectors with cap 512 → 0 candidates;
+    * every bucket held ~1250). The sizes aggregation this helper computes
+    * anyway makes the check nearly free: ONE eager pass over the
+    * checkpointed blocks at construction (blocks the first consumer would
+    * materialize immediately after). The hard-fail discriminates on
+    * BUCKET COUNT, not row mass: the footgun is a SHAPE mismatch (too few
+    * buckets per table), which drowns ≥ 99% of the BUCKETS at once, so
+    * `require`-fail there with the shape arithmetic. Row mass alone
+    * cannot tell the footgun from a legitimately extreme hot-cluster
+    * corpus (≥ 99% of ROWS in a few hot buckets on a matched shape) —
+    * exactly the case the cap exists for, which must run, not fail
+    * (round-15 advice conflated the two). 99%, not 100%, on buckets: the
+    * mismatch drowns every bucket; a matched shape keeps its many small
+    * background buckets under the cap.
+    *
+    * WARN TIER (round 16 — r15 verdict #1): below the hard-fail, a cap
+    * can still legally excise most of the candidate MASS (a 90%-hot
+    * corpus drops 90% of bucketed rows without tripping any guard). When
+    * over-cap buckets hold ≥ 50% of bucketed rows — and the shape guard
+    * above did not fire — log a WARNING with the same shape arithmetic
+    * and the BandTuner pointer, from the stats row already in hand. The
+    * query proceeds: excising a dominant hot cluster is the dial's
+    * documented purpose; the warning makes the magnitude visible instead
+    * of silent.
     */
   private[functions] def dropOversizedBuckets(
       bucketed: DataFrame, keys: Seq[String], cap: Int, dial: String): DataFrame = {
@@ -419,11 +437,17 @@ object DedupOps extends QueryPack {
           s"to at least the smallest over-cap bucket ($minOver) or sharpen the " +
           "bands (more rows per band via graft.sim.bands.minhash; " +
           "BandTuner.suggestMinhash names a corpus-matched shape and cap)."
-    require(total == 0L || over < 0.99 * total,
+    require(total == 0L || overBuckets < 0.99 * buckets,
       s"$dial=$cap would drop ${if (over == total) "ALL" else s"$over of $total"} " +
         s"bucketed rows ($overBuckets of $buckets buckets over the cap) — the " +
         "candidate index would be silently empty(ish) and the dedup would " +
         s"report no near-dups on any corpus. $remedy")
+    if (total > 0L && over >= 0.5 * total)
+      log.warn(s"$dial=$cap drops $over of $total bucketed rows — over half " +
+        s"the candidate mass ($overBuckets of $buckets buckets over the cap, " +
+        s"smallest over-cap bucket $minOver). Legal — most buckets are under " +
+        "the cap, so this reads as a hot-cluster corpus, the case the cap " +
+        s"exists for — but verify the dial is sized to THIS corpus. $remedy")
     val small = sizes.filter(bn <= cap).select(keys.map(col): _*)
     bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
   }

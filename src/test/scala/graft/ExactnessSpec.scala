@@ -370,6 +370,62 @@ class ExactnessSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
   }
 
+  test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
+    // r15 verdict #1: the hard tripwire fires only on the shape-mismatch
+    // footgun (≥99% of BUCKETS over cap — every bucket drowned at once);
+    // below it a cap can still legally excise most of the candidate MASS.
+    // A 90%-hot corpus on the corpus-matched 8×10 shape puts ~90% of
+    // bucketed rows in 8 hot buckets (one per table) while hundreds of
+    // genuine-cluster buckets stay under the cap: the query must RUN
+    // (excising the hot cluster is the dial's purpose) and a WARNING must
+    // fire with the shape arithmetic, from the stats row already in hand.
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val loggerName = "graft.functions.DedupOps"
+    val captured = new scala.collection.mutable.ArrayBuffer[String]
+    val appender = new AbstractAppender(
+        "graft-warn-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.synchronized { captured += e.getMessage.getFormattedMessage }
+    }
+    appender.start()
+    val ctx = LoggerContext.getContext(false)
+    val cfg = ctx.getConfiguration
+    val lc = new LoggerConfig(loggerName, Level.WARN, true)
+    lc.addAppender(appender, Level.WARN, null)
+    cfg.addLogger(loggerName, lc)
+    ctx.updateLoggers()
+    val dir = tools.Corpora.generateDenseDupVectors(spark, 20000, hotFrac = 0.9)
+    spark.conf.set("graft.sim.bucketcap.adhoc", "512")
+    try {
+      val kept = SimilarityOps.lshCandidateIds(spark, dir, nTables = 8,
+        planesPerTable = 10, prefilterTheta = Some(DedupOps.CosDedupThreshold)).count()
+      assert(kept > 0, "sub-fatal mass loss must not empty the candidate set")
+      val warns = captured.synchronized(captured.toList)
+        .filter(_.contains("graft.sim.bucketcap.adhoc=512"))
+      assert(warns.nonEmpty, s"expected a warn-tier message, captured: $captured")
+      assert(warns.exists(m => m.contains("bucketed rows") &&
+        m.contains("BandTuner.suggest")), warns.mkString("\n"))
+      // and the warn tier must stay SILENT on the matched-shape control
+      // the previous test ran (background-dominated corpus, <50% hot):
+      // re-run it under the appender and assert no new warning
+      val before = captured.synchronized(captured.size)
+      val ctl = tools.Corpora.generateDenseDupVectors(spark, 20000)
+      SimilarityOps.lshCandidateIds(spark, ctl, nTables = 8,
+        planesPerTable = 10, prefilterTheta = Some(DedupOps.CosDedupThreshold)).count()
+      assert(captured.synchronized(captured.size) == before,
+        "a 20%-hot corpus under a matched shape must not warn: " +
+          captured.synchronized(captured.drop(before)).mkString("\n"))
+    } finally {
+      spark.conf.unset("graft.sim.bucketcap.adhoc")
+      cfg.removeLogger(loggerName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
   test("sim bucket cap is scoped per consumer: a dedup-tuned cap cannot degrade other routes") {
     // r14 advice #3: one global dial capped EVERY lshCandidateIds consumer
     // in the session — a cap tuned to excise dedup's hot buckets silently
