@@ -341,10 +341,11 @@ object Corpora {
   * the settle/zero/min-of-3 ritual, factored so a protocol change (the
   * settle duration, which pass feeds the byte figures) lands in every
   * A/B at once instead of silently diverging per copy. Listener events
-  * drain async and the bus has no public waitUntilEmpty, so reads settle
-  * 2 s before zeroing/reading counters; the warm pass takes codegen +
-  * shuffle-file setup out of the measurement, and only the LAST timed
-  * pass (counters zeroed right before it) feeds the byte figures.
+  * drain async and the bus has no public waitUntilEmpty, so reads quiesce
+  * through the deterministic [[BusDrain]] sentinel before zeroing/reading
+  * counters; the warm pass takes codegen + shuffle-file setup out of the
+  * measurement, and only the LAST timed pass (counters zeroed right
+  * before it) feeds the byte figures.
   */
 final class ShuffleMeter(spark: SparkSession) {
   private val shufRead = new AtomicLong
@@ -358,8 +359,6 @@ final class ShuffleMeter(spark: SparkSession) {
       }
     }
   })
-  private def settle(): Unit = Thread.sleep(2000)
-
   /** (min wall of 3, shuffle bytes read, written) — bytes from the last
     * timed pass only. `warm = false` skips the warm pass for callers that
     * just executed the same pipeline anyway (e.g. a diagnostic `count()`
@@ -368,16 +367,74 @@ final class ShuffleMeter(spark: SparkSession) {
   def measured(f: => Unit, warm: Boolean = true): (Double, Long, Long) = {
     if (warm) f
     val times = (1 to 3).map { i =>
-      if (i == 3) { settle(); shufRead.set(0); shufWrite.set(0) }
+      if (i == 3) { BusDrain.drain(spark); shufRead.set(0); shufWrite.set(0) }
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    settle()
+    BusDrain.drain(spark)
     (times.min, shufRead.get, shufWrite.get)
   }
 }
 
 object ShuffleMeter {
   def mb(x: Long): String = f"${x / 1048576.0}%.0fMB"
+}
+
+/** Deterministic listener-bus quiesce shared by the task-metrics rigs
+  * (round 16 — r15 verdict #3: replaces the TWO fixed
+  * `Thread.sleep(2000)` "settle" copies in [[ShuffleMeter]] and the
+  * skew-minhash A/B, which were both slow and, on a loaded box, not
+  * actually sufficient). Determinism rides the same bus contract the
+  * ccchain sentinel drain (round 15) established: every listener added
+  * via `addSparkListener` shares ONE async queue whose dispatch thread
+  * delivers each event to ALL listeners before the next event, so once
+  * a sentinel job's JobEnd reaches the listener registered here, every
+  * event posted before it — in particular every TaskEnd of jobs whose
+  * actions already returned — has been delivered to every listener in
+  * the queue. Latching on JobEnd (not JobStart) also orders the sentinel
+  * job's OWN TaskEnd before the latch release: a drain-then-CLEAR caller
+  * never sees it, and a drain-then-READ caller sees it deterministically
+  * — it contributes zero shuffle bytes (single-partition `range(1)
+  * .count()`, no exchange), and counters it would skew (task durations)
+  * exclude it by [[SentinelPrefix]]-keyed stage id. (ccchain keeps its
+  * own JobStart-latched drain: it COUNTS JobStarts and must exclude its
+  * sentinels by description prefix — a different contract than
+  * quiescing task metrics.)
+  */
+object BusDrain {
+  /** Job-description prefix of every drain sentinel — counters that must
+    * not observe the sentinel's own (single, sub-ms) task key off it:
+    * JobStart is delivered before the sentinel's TaskEnd on the FIFO
+    * bus, so a listener that registers the sentinel's stage ids at
+    * JobStart can exclude its TaskEnd deterministically. */
+  val SentinelPrefix = "graft-drain-sentinel-"
+  private val seq = new AtomicLong
+  def drain(spark: SparkSession): Unit = {
+    val desc = SentinelPrefix + seq.incrementAndGet()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new SparkListener {
+      // JobStart and JobEnd arrive on the same dispatch thread, in post
+      // order, so the id handoff needs no synchronization; real job ids
+      // are non-negative, so the -1 init can never match
+      @volatile private var sentinelJobId = -1
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (d == desc) sentinelJobId = j.jobId
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (e.jobId == sentinelJobId) latch.countDown()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobDescription(desc)
+      try spark.range(1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus did not deliver the drain sentinel JobEnd within 60s")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 /** The measurement harness behind SCALE.md, consolidated (r9 verdict #5)
@@ -1196,26 +1253,40 @@ object Harness {
     // ~6×, the local stand-in for the real ratio.
     spark.conf.set("spark.sql.shuffle.partitions", "200")
     val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // exclude the BusDrain sentinels' own tasks from the med/max figures:
+    // the post-measure drain's sentinel TaskEnd lands before the latch
+    // releases (that ordering is the drain's guarantee), so without this
+    // it would ride inside the measured run's duration sample
+    val sentinelStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (d != null && d.startsWith(BusDrain.SentinelPrefix))
+          j.stageIds.foreach(id => sentinelStages.add(id))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) durations.add(t.taskMetrics.executorRunTime)
+        if (t.taskMetrics != null && !sentinelStages.contains(t.stageId))
+          durations.add(t.taskMetrics.executorRunTime)
     })
-    // listener events are delivered on the async bus; let it drain before
+    // listener events are delivered on the async bus; drain it before
     // clearing (warm-run stragglers) and before reading (the measured
-    // run's own straggler IS the evidence) — without the settle, the
-    // med/max figures can silently miss the hot-bucket task
-    def settle(): Unit = Thread.sleep(2000)
+    // run's own straggler IS the evidence) — without the drain, the
+    // med/max figures can silently miss the hot-bucket task. Sentinel
+    // tasks are excluded above by stage id, so the post-measure drain
+    // cannot leak its own task into the sample it flushes.
     for (skewOn <- Seq(false, true)) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
       val df = DedupOps.minhashCandidatesPlan(spark, dir)
       df.queryExecution.toRdd.count() // warm (codegen, shuffle files)
-      settle()
+      BusDrain.drain(spark)
       durations.clear()
       val df2 = DedupOps.minhashCandidatesPlan(spark, dir)
       val t0 = System.nanoTime()
       val cnt = df2.queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      settle()
+      BusDrain.drain(spark)
       val plan = df2.queryExecution.executedPlan.toString
       val skewReads = plan.linesIterator.count(l => l.contains("AQEShuffleRead") && l.contains("skew"))
       val ds = durations.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
