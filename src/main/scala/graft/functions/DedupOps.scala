@@ -380,16 +380,21 @@ object DedupOps extends QueryPack {
     * every bucket held ~1250). The sizes aggregation this helper computes
     * anyway makes the check nearly free: ONE eager pass over the
     * checkpointed blocks at construction (blocks the first consumer would
-    * materialize immediately after). The hard-fail discriminates on
-    * BUCKET COUNT, not row mass: the footgun is a SHAPE mismatch (too few
-    * buckets per table), which drowns ≥ 99% of the BUCKETS at once, so
-    * `require`-fail there with the shape arithmetic. Row mass alone
-    * cannot tell the footgun from a legitimately extreme hot-cluster
-    * corpus (≥ 99% of ROWS in a few hot buckets on a matched shape) —
-    * exactly the case the cap exists for, which must run, not fail
-    * (round-15 advice conflated the two). 99%, not 100%, on buckets: the
-    * mismatch drowns every bucket; a matched shape keeps its many small
-    * background buckets under the cap.
+    * materialize immediately after). The hard-fail is a COMBINED
+    * predicate: (a) ≥ 99% of BUCKETS over the cap — the pure shape
+    * mismatch, which drowns every bucket at once — OR (b) ≥ 99% of the
+    * row MASS over the cap while over-cap buckets exceed 10% of buckets —
+    * the skewed mismatch, where a tail of near-empty buckets keeps the
+    * bucket fraction under (a) while the index still empties (round-16
+    * review). Row mass alone (the round-15 predicate) cannot tell either
+    * footgun from a legitimately extreme hot-cluster corpus — ≥ 99% of
+    * rows in a FEW hot buckets on a matched shape, exactly the case the
+    * cap exists for, which must run, not fail (r16 advice #1) — hence the
+    * ≤ 10% escape hatch in (b): sign-LSH puts one hot cluster in
+    * ~nTables buckets of the nTables×2^planes total, a small fraction,
+    * where a mismatch drowns most of them. 99%, not 100%, on buckets in
+    * (a): the mismatch drowns every bucket; a matched shape keeps its
+    * many small background buckets under the cap.
     *
     * WARN TIER (round 16 — r15 verdict #1): below the hard-fail, a cap
     * can still legally excise most of the candidate MASS (a 90%-hot
@@ -401,7 +406,7 @@ object DedupOps extends QueryPack {
     * documented purpose; the warning makes the magnitude visible instead
     * of silent.
     */
-  private[functions] def dropOversizedBuckets(
+  private[graft] def dropOversizedBuckets(
       bucketed: DataFrame, keys: Seq[String], cap: Int, dial: String): DataFrame = {
     val bMat = bucketed.localCheckpoint(false)
     // eager checkpoint: the groupBy over the band stream runs ONCE — the
@@ -437,7 +442,17 @@ object DedupOps extends QueryPack {
           s"to at least the smallest over-cap bucket ($minOver) or sharpen the " +
           "bands (more rows per band via graft.sim.bands.minhash; " +
           "BandTuner.suggestMinhash names a corpus-matched shape and cap)."
-    require(total == 0L || overBuckets < 0.99 * buckets,
+    // footgun = EITHER nearly every bucket drowned (the pure shape
+    // mismatch) OR ≥99% of the candidate mass gone while over-cap buckets
+    // are more than a FEW (round-16 review #3: a skewed mismatch — 250 of
+    // 256 buckets over, a tail of near-empty buckets under — evades the
+    // bucket-count test alone while emptying the index). The ≤10%
+    // escape hatch is the hot-cluster signature: sign-LSH puts one hot
+    // cluster in ~nTables buckets of the table×2^planes total, a small
+    // FRACTION, where a mismatch drowns most of them.
+    val drowned = overBuckets >= 0.99 * buckets
+    val massGoneBeyondHotCluster = over >= 0.99 * total && overBuckets > 0.10 * buckets
+    require(total == 0L || !(drowned || massGoneBeyondHotCluster),
       s"$dial=$cap would drop ${if (over == total) "ALL" else s"$over of $total"} " +
         s"bucketed rows ($overBuckets of $buckets buckets over the cap) — the " +
         "candidate index would be silently empty(ish) and the dedup would " +
@@ -445,9 +460,11 @@ object DedupOps extends QueryPack {
     if (total > 0L && over >= 0.5 * total)
       log.warn(s"$dial=$cap drops $over of $total bucketed rows — over half " +
         s"the candidate mass ($overBuckets of $buckets buckets over the cap, " +
-        s"smallest over-cap bucket $minOver). Legal — most buckets are under " +
-        "the cap, so this reads as a hot-cluster corpus, the case the cap " +
-        s"exists for — but verify the dial is sized to THIS corpus. $remedy")
+        s"smallest over-cap bucket $minOver). Legal — the guard reads " +
+        f"${overBuckets * 100.0 / math.max(buckets, 1L)}%.0f%% of buckets over " +
+        "the cap, below the footgun regime — but verify the dial is sized to " +
+        s"THIS corpus: a hot-cluster excision this large should be " +
+        s"intentional. $remedy")
     val small = sizes.filter(bn <= cap).select(keys.map(col): _*)
     bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
   }

@@ -138,9 +138,12 @@ object SimilarityOps extends QueryPack {
     * vectors share every sign bit) while the background spreads, and the
     * cap separates cleanly. Since round 15 the precondition is also a
     * RUNTIME tripwire, not just this paragraph: the shared
-    * [[DedupOps.dropOversizedBuckets]] helper require-fails when over-cap
-    * buckets hold ≥ 99% of bucketed rows, so the measured silent-empty
-    * shape now fails loud at construction.
+    * [[DedupOps.dropOversizedBuckets]] helper require-fails when the cap
+    * would empty the index — ≥ 99% of buckets over the cap, or ≥ 99% of
+    * bucketed rows over it without the few-hot-buckets signature — and
+    * warns when over-cap buckets hold ≥ 50% of the rows, so the measured
+    * silent-empty shape fails loud at construction and sub-fatal mass
+    * loss is visible (see its scaladoc for the full predicate).
     *
     * SCOPED PER CONSUMER (round 15, r14 advice #3): the dial is keyed
     * like the band shapes — `graft.sim.bucketcap.cosdedup` caps the

@@ -390,15 +390,15 @@ object ShuffleMeter {
   * a sentinel job's JobEnd reaches the listener registered here, every
   * event posted before it — in particular every TaskEnd of jobs whose
   * actions already returned — has been delivered to every listener in
-  * the queue. Latching on JobEnd (not JobStart) also orders the sentinel
-  * job's OWN TaskEnd before the latch release: a drain-then-CLEAR caller
-  * never sees it, and a drain-then-READ caller sees it deterministically
-  * — it contributes zero shuffle bytes (single-partition `range(1)
-  * .count()`, no exchange), and counters it would skew (task durations)
-  * exclude it by [[SentinelPrefix]]-keyed stage id. (ccchain keeps its
-  * own JobStart-latched drain: it COUNTS JobStarts and must exclude its
-  * sentinels by description prefix — a different contract than
-  * quiescing task metrics.)
+  * the queue. The sentinel is a single-partition RDD count — exactly ONE
+  * job with one shuffle-free task, so the JobEnd latch is exact (no AQE
+  * sub-jobs to race) and the sentinel contributes zero shuffle bytes.
+  * Latching on JobEnd (not JobStart) also orders that one TaskEnd before
+  * the latch release: a drain-then-CLEAR caller never sees it, and the
+  * one drain-then-read counter it would skew (task durations in the skew
+  * rig) excludes it by [[SentinelPrefix]]-keyed stage id. ccchain's
+  * job-counting window latches through this drain too, excluding
+  * sentinel JobStarts from its count by the same prefix.
   */
 object BusDrain {
   /** Job-description prefix of every drain sentinel — counters that must
@@ -429,7 +429,14 @@ object BusDrain {
     spark.sparkContext.addSparkListener(listener)
     try {
       spark.sparkContext.setJobDescription(desc)
-      try spark.range(1).count()
+      // single-partition RDD count, NOT spark.range(1).count(): the SQL
+      // count plans partial-agg → Exchange → final-agg over
+      // leafNodeDefaultParallelism slices — ~33 tasks, real shuffle
+      // bytes, and 2+ AQE jobs sharing the description, which both
+      // contaminates byte counters and races a first-JobEnd latch
+      // against the second job's events (round-16 review #1/#2). The
+      // RDD count is exactly one job, one stage, one task, zero shuffle.
+      try spark.sparkContext.parallelize(0 until 1, 1).count()
       finally spark.sparkContext.setJobDescription(null)
       require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
         "listener bus did not deliver the drain sentinel JobEnd within 60s")
@@ -1157,43 +1164,25 @@ object Harness {
     // a final-round equality probe. Counted over the contraction only
     // (the label-count job below runs outside the window).
     val jobs = new AtomicLong
-    val SentinelPrefix = "ccchain-drain-sentinel-"
-    val drainSeq = new AtomicLong
-    @volatile var expectedSentinel: String = null
-    @volatile var sentinelSeen: java.util.concurrent.CountDownLatch = null
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
           .map(_.getProperty("spark.job.description")).orNull
-        if (desc != null && desc.startsWith(SentinelPrefix)) {
-          // any sentinel job is excluded from the count; only THIS drain's
-          // sentinel (unique suffix) releases the latch — a late-delivered
-          // event from a prior drain's extra AQE sub-job must not count a
-          // later drain down early (round-15 review)
-          val l = sentinelSeen
-          if (l != null && desc == expectedSentinel) l.countDown()
-        } else jobs.incrementAndGet()
+        // BusDrain sentinels are excluded from the job count by their
+        // description prefix; everything else in the window counts
+        if (desc == null || !desc.startsWith(BusDrain.SentinelPrefix))
+          jobs.incrementAndGet()
       }
     })
     // DETERMINISTIC listener drain (round 15, r14 advice #5 — the old
-    // Thread.sleep(300) could undercount jobs/round on a loaded box): the
-    // listener bus is async but delivers FIFO per listener, so once the
-    // sentinel job's JobStart reaches this listener, every JobStart
-    // posted before it has too. Sentinels are excluded from the count by
-    // their job-description prefix.
-    def drainJobStarts(): Unit = {
-      val latch = new java.util.concurrent.CountDownLatch(1)
-      val desc = SentinelPrefix + drainSeq.incrementAndGet()
-      expectedSentinel = desc
-      sentinelSeen = latch
-      spark.sparkContext.setJobDescription(desc)
-      try spark.range(1).count()
-      finally spark.sparkContext.setJobDescription(null)
-      require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
-        "listener bus did not deliver the drain sentinel within 60s")
-      sentinelSeen = null
-      expectedSentinel = null
-    }
+    // Thread.sleep(300) could undercount jobs/round on a loaded box),
+    // consolidated onto the shared BusDrain (round-16 review #6: two
+    // copies of the sentinel protocol drifted apart within one file).
+    // BusDrain latches on the sentinel's JobEnd, which is posted after
+    // its JobStart — so once drain() returns, every JobStart posted
+    // before it has reached the counting listener above (FIFO per
+    // event across all listeners in the shared queue).
+    def drainJobStarts(): Unit = BusDrain.drain(spark)
     for (n <- sizes) {
       val nodes = spark.range(n).select($"id".as("doc_id"))
       val pairs = spark.range(n - 1).select($"id".as("d1"), ($"id" + 1).as("d2"))

@@ -370,6 +370,39 @@ class ExactnessSpec extends SparkSpec {
     } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
   }
 
+  test("tripwire combined predicate: skewed mismatch fails, extreme hot cluster runs") {
+    // round-16 review #3: a bucket-count discriminator ALONE is evadable —
+    // a skewed shape mismatch (most buckets drowned, a tail of near-empty
+    // buckets under cap) keeps overBuckets below 99% of buckets while
+    // ≥99% of the candidate mass vanishes. Pin the combined predicate on
+    // synthetic bucket frames where the occupancy is exact by
+    // construction (cap = 10 throughout).
+    import spark.implicits._
+    def bucketFrame(spec: Seq[(Int, Long)]): org.apache.spark.sql.DataFrame = {
+      // spec = (bucket id, row count); rows carry a payload column so the
+      // surviving frame is distinguishable per row
+      spec.flatMap { case (b, n) => (0L until n).map(i => (b, i)) }
+        .toDF("bucket", "payload").repartition(8)
+    }
+    // 90 of 100 buckets hold 1000 rows each (over cap), 10 hold 1 row:
+    // overBuckets = 90% of buckets (< 99%), over mass = 99.99% — the
+    // evasion shape MUST hard-fail
+    val skewed = bucketFrame((0 until 90).map(b => (b, 1000L)) ++
+      (90 until 100).map(b => (b, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dropOversizedBuckets(skewed, Seq("bucket"), 10, "graft.sim.bucketcap.adhoc")
+    }
+    assert(e.getMessage.contains("silently"), e.getMessage)
+    // 2 of 100 buckets hold 5000 rows (over cap), 98 hold 1 row: over
+    // mass = 99.02% but over-cap buckets are 2% of buckets — the
+    // hot-cluster signature MUST run, keeping exactly the 98 small rows
+    val hot = bucketFrame((0 until 2).map(b => (b, 5000L)) ++
+      (2 until 100).map(b => (b + 1000, 1L)))
+    val kept = DedupOps.dropOversizedBuckets(hot, Seq("bucket"), 10,
+      "graft.sim.bucketcap.adhoc")
+    assert(kept.count() == 98L, "hot-cluster corpus must keep its small buckets")
+  }
+
   test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
     // r15 verdict #1: the hard tripwire fires only on the shape-mismatch
     // footgun (≥99% of BUCKETS over cap — every bucket drowned at once);
