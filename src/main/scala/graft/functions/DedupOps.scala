@@ -383,18 +383,24 @@ object DedupOps extends QueryPack {
     * materialize immediately after). The hard-fail is a COMBINED
     * predicate: (a) ≥ 99% of BUCKETS over the cap — the pure shape
     * mismatch, which drowns every bucket at once — OR (b) ≥ 99% of the
-    * row MASS over the cap while over-cap buckets exceed 10% of buckets —
-    * the skewed mismatch, where a tail of near-empty buckets keeps the
-    * bucket fraction under (a) while the index still empties (round-16
-    * review). Row mass alone (the round-15 predicate) cannot tell either
-    * footgun from a legitimately extreme hot-cluster corpus — ≥ 99% of
-    * rows in a FEW hot buckets on a matched shape, exactly the case the
-    * cap exists for, which must run, not fail (r16 advice #1) — hence the
-    * ≤ 10% escape hatch in (b): sign-LSH puts one hot cluster in
-    * ~nTables buckets of the nTables×2^planes total, a small fraction,
-    * where a mismatch drowns most of them. 99%, not 100%, on buckets in
-    * (a): the mismatch drowns every bucket; a matched shape keeps its
-    * many small background buckets under the cap.
+    * row MASS over the cap while over-cap buckets are also the MAJORITY
+    * of observed buckets — the skewed mismatch, where a tail of
+    * near-empty buckets keeps the bucket fraction under (a) while the
+    * index still empties (round-16 review). Row mass alone (the round-15
+    * predicate) cannot tell either footgun from a legitimately extreme
+    * hot-cluster corpus — ≥ 99% of rows in hot buckets on a matched
+    * shape, exactly the case the cap exists for, which must run, not
+    * fail (r16 advice #1) — hence the majority hatch in (b): a mismatch
+    * means the MEAN bucket is over the cap, so uniform hashing drowns
+    * essentially every occupied bucket, while a hot-cluster corpus is
+    * bimodal — its background population outnumbers the hot buckets in
+    * COUNT even when negligible in mass. The hatch deliberately measures
+    * against OBSERVED (non-empty) buckets and stays at the 50% boundary:
+    * tighter drafts (10%) hard-failed legitimate multi-cluster /
+    * thin-background corpora, whose observed-bucket count shrinks as
+    * clusters dominate. 99%, not 100%, on buckets in (a): the mismatch
+    * drowns every bucket; a matched shape keeps its many small
+    * background buckets under the cap.
     *
     * WARN TIER (round 16 — r15 verdict #1): below the hard-fail, a cap
     * can still legally excise most of the candidate MASS (a 90%-hot
@@ -444,27 +450,38 @@ object DedupOps extends QueryPack {
           "BandTuner.suggestMinhash names a corpus-matched shape and cap)."
     // footgun = EITHER nearly every bucket drowned (the pure shape
     // mismatch) OR ≥99% of the candidate mass gone while over-cap buckets
-    // are more than a FEW (round-16 review #3: a skewed mismatch — 250 of
-    // 256 buckets over, a tail of near-empty buckets under — evades the
-    // bucket-count test alone while emptying the index). The ≤10%
-    // escape hatch is the hot-cluster signature: sign-LSH puts one hot
-    // cluster in ~nTables buckets of the table×2^planes total, a small
-    // FRACTION, where a mismatch drowns most of them.
+    // are also the MAJORITY of observed buckets (round-16 review #3: a
+    // skewed mismatch — 250 of 256 buckets over, a tail of near-empty
+    // buckets under — evades the bucket-count test alone while emptying
+    // the index). The majority threshold separates the two occupancy
+    // shapes: a mismatch means mean bucket size > cap, so uniform hashing
+    // puts essentially every occupied bucket over (fraction → 1); a
+    // hot-cluster corpus is BIMODAL — hot buckets plus a real background
+    // population that outnumbers them in bucket COUNT even when it is
+    // negligible in mass. `buckets` counts OBSERVED (non-empty) buckets,
+    // which shrinks as clusters dominate — a tighter hatch (an earlier
+    // draft used 10%) hard-failed legitimate multi-cluster or
+    // thin-background corpora for exactly that reason (review second
+    // pass): 15 clusters × 8 tables = 120 hot of ~920 observed is
+    // already 13%.
     val drowned = overBuckets >= 0.99 * buckets
-    val massGoneBeyondHotCluster = over >= 0.99 * total && overBuckets > 0.10 * buckets
+    val massGoneBeyondHotCluster = over >= 0.99 * total && overBuckets > 0.5 * buckets
     require(total == 0L || !(drowned || massGoneBeyondHotCluster),
       s"$dial=$cap would drop ${if (over == total) "ALL" else s"$over of $total"} " +
         s"bucketed rows ($overBuckets of $buckets buckets over the cap) — the " +
         "candidate index would be silently empty(ish) and the dedup would " +
         s"report no near-dups on any corpus. $remedy")
-    if (total > 0L && over >= 0.5 * total)
+    if (total > 0L && over >= 0.5 * total) {
+      // floored, not rounded: a 98.7% fraction must never print as the
+      // 99% hard-fail threshold it sits below (round-16 review, 2nd pass)
+      val overPct = math.floor(overBuckets * 10000.0 / math.max(buckets, 1L)) / 100
       log.warn(s"$dial=$cap drops $over of $total bucketed rows — over half " +
         s"the candidate mass ($overBuckets of $buckets buckets over the cap, " +
         s"smallest over-cap bucket $minOver). Legal — the guard reads " +
-        f"${overBuckets * 100.0 / math.max(buckets, 1L)}%.0f%% of buckets over " +
-        "the cap, below the footgun regime — but verify the dial is sized to " +
-        s"THIS corpus: a hot-cluster excision this large should be " +
-        s"intentional. $remedy")
+        f"$overPct%.2f%% of buckets over the cap, below the footgun regime — " +
+        "but verify the dial is sized to THIS corpus: a hot-cluster " +
+        s"excision this large should be intentional. $remedy")
+    }
     val small = sizes.filter(bn <= cap).select(keys.map(col): _*)
     bMat.join(small.hint("shuffle_hash"), keys, "left_semi")
   }

@@ -401,6 +401,18 @@ class ExactnessSpec extends SparkSpec {
     val kept = DedupOps.dropOversizedBuckets(hot, Seq("bucket"), 10,
       "graft.sim.bucketcap.adhoc")
     assert(kept.count() == 98L, "hot-cluster corpus must keep its small buckets")
+    // MULTI-cluster hot corpus (round-16 review, 2nd pass): 13 of 100
+    // buckets hold 1000 rows each — over mass 99.3% AND over-cap buckets
+    // at 13% of OBSERVED buckets (the count the guard divides by, which
+    // shrinks as clusters dominate). A tighter escape hatch (an earlier
+    // 10% draft) hard-failed exactly this must-run shape; the majority
+    // hatch keeps it running with the 87 background rows intact.
+    val multiHot = bucketFrame((0 until 13).map(b => (b, 1000L)) ++
+      (13 until 100).map(b => (b + 1000, 1L)))
+    val keptMulti = DedupOps.dropOversizedBuckets(multiHot, Seq("bucket"), 10,
+      "graft.sim.bucketcap.adhoc")
+    assert(keptMulti.count() == 87L,
+      "multi-cluster hot corpus must keep its background buckets")
   }
 
   test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
