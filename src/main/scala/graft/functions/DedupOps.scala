@@ -473,12 +473,17 @@ object DedupOps extends QueryPack {
         s"report no near-dups on any corpus. $remedy")
     if (total > 0L && over >= 0.5 * total) {
       // floored, not rounded: a 98.7% fraction must never print as the
-      // 99% hard-fail threshold it sits below (round-16 review, 2nd pass)
+      // 99% hard-fail threshold it sits below (round-16 review, 2nd pass);
+      // Locale.ROOT, not the f-interpolator (round-16 advice #4's bench
+      // fix, extended here by r17 advice #2): f"" uses the JVM default
+      // locale, so a comma-decimal JVM would log '98,70%'
       val overPct = math.floor(overBuckets * 10000.0 / math.max(buckets, 1L)) / 100
+      val overPctStr =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(overPct))
       log.warn(s"$dial=$cap drops $over of $total bucketed rows — over half " +
         s"the candidate mass ($overBuckets of $buckets buckets over the cap, " +
         s"smallest over-cap bucket $minOver). Legal — the guard reads " +
-        f"$overPct%.2f%% of buckets over the cap, below the footgun regime — " +
+        s"$overPctStr% of buckets over the cap, below the footgun regime — " +
         "but verify the dial is sized to THIS corpus: a hot-cluster " +
         s"excision this large should be intentional. $remedy")
     }

@@ -428,6 +428,11 @@ object BusDrain {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      // save/restore, not set/clear: a caller that grouped its own jobs
+      // under a description (Spark UI) must keep it across a drain
+      // (r17 advice #1)
+      val callerDesc =
+        spark.sparkContext.getLocalProperty("spark.job.description")
       spark.sparkContext.setJobDescription(desc)
       // single-partition RDD count, NOT spark.range(1).count(): the SQL
       // count plans partial-agg → Exchange → final-agg over
@@ -437,7 +442,7 @@ object BusDrain {
       // against the second job's events (round-16 review #1/#2). The
       // RDD count is exactly one job, one stage, one task, zero shuffle.
       try spark.sparkContext.parallelize(0 until 1, 1).count()
-      finally spark.sparkContext.setJobDescription(null)
+      finally spark.sparkContext.setJobDescription(callerDesc)
       require(latch.await(60, java.util.concurrent.TimeUnit.SECONDS),
         "listener bus did not deliver the drain sentinel JobEnd within 60s")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -413,6 +413,32 @@ class ExactnessSpec extends SparkSpec {
       "graft.sim.bucketcap.adhoc")
     assert(keptMulti.count() == 87L,
       "multi-cluster hot corpus must keep its background buckets")
+    // BOUNDARY of the majority hatch (r17 advice #3): with mass ≥99% gone,
+    // the hatch pivots on over-cap buckets being a MAJORITY of observed
+    // buckets. 40-of-100 over (mass 99.85%) is the documented tradeoff
+    // shape — a 40-cluster corpus over a thin background is still a
+    // legitimate many-cluster excision, so it RUNS (warn tier covers it);
+    // exactly 50-of-100 is NOT a majority (strict >), so it runs too;
+    // 51-of-100 tips the majority and MUST hard-fail. Pinning all three
+    // makes the chosen boundary deliberate, not incidental.
+    val fortyOver = bucketFrame((0 until 40).map(b => (b, 1000L)) ++
+      (40 until 100).map(b => (b + 1000, 1L)))
+    assert(DedupOps.dropOversizedBuckets(fortyOver, Seq("bucket"), 10,
+      "graft.sim.bucketcap.adhoc").count() == 60L,
+      "40%-of-buckets-over with 99%+ mass gone is the documented " +
+        "many-cluster tradeoff: it must run, keeping the background")
+    val halfOver = bucketFrame((0 until 50).map(b => (b, 1000L)) ++
+      (50 until 100).map(b => (b + 1000, 1L)))
+    assert(DedupOps.dropOversizedBuckets(halfOver, Seq("bucket"), 10,
+      "graft.sim.bucketcap.adhoc").count() == 50L,
+      "exactly half the buckets over is not a strict majority: must run")
+    val majorityOver = bucketFrame((0 until 51).map(b => (b, 1000L)) ++
+      (51 until 100).map(b => (b + 1000, 1L)))
+    val eMaj = intercept[IllegalArgumentException] {
+      DedupOps.dropOversizedBuckets(majorityOver, Seq("bucket"), 10,
+        "graft.sim.bucketcap.adhoc")
+    }
+    assert(eMaj.getMessage.contains("silently"), eMaj.getMessage)
   }
 
   test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
@@ -453,6 +479,11 @@ class ExactnessSpec extends SparkSpec {
       assert(warns.nonEmpty, s"expected a warn-tier message, captured: $captured")
       assert(warns.exists(m => m.contains("bucketed rows") &&
         m.contains("BandTuner.suggest")), warns.mkString("\n"))
+      // pin the DOT decimal (r17 verdict #2): the percentage is formatted
+      // via Locale.ROOT, so even a comma-decimal JVM must print '12.34%'
+      val pctRe = """\d+\.\d\d% of buckets over the cap""".r
+      assert(warns.exists(m => pctRe.findFirstIn(m).isDefined),
+        s"warn percentage must be dot-decimal two-place: ${warns.mkString("\n")}")
       // and the warn tier must stay SILENT on the matched-shape control
       // the previous test ran (background-dominated corpus, <50% hot):
       // re-run it under the appender and assert no new warning
