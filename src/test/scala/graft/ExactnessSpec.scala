@@ -423,10 +423,19 @@ class ExactnessSpec extends SparkSpec {
     // makes the chosen boundary deliberate, not incidental.
     val fortyOver = bucketFrame((0 until 40).map(b => (b, 1000L)) ++
       (40 until 100).map(b => (b + 1000, 1L)))
-    assert(DedupOps.dropOversizedBuckets(fortyOver, Seq("bucket"), 10,
-      "graft.sim.bucketcap.adhoc").count() == 60L,
-      "40%-of-buckets-over with 99%+ mass gone is the documented " +
-        "many-cluster tradeoff: it must run, keeping the background")
+    // the hatch-armed shape must not pass SILENTLY either: the warn tier
+    // (≥50% of mass dropped) covers it — asserted, not just claimed
+    // (r17 review #2)
+    withDedupWarnCapture { captured =>
+      assert(DedupOps.dropOversizedBuckets(fortyOver, Seq("bucket"), 10,
+        "graft.sim.bucketcap.adhoc").count() == 60L,
+        "40%-of-buckets-over with 99%+ mass gone is the documented " +
+          "many-cluster tradeoff: it must run, keeping the background")
+      assert(captured.synchronized(captured.toList)
+        .exists(m => m.contains("graft.sim.bucketcap.adhoc=10") &&
+          m.contains("bucketed rows")),
+        s"the 99%-mass hatch corpus must warn, captured: $captured")
+    }
     val halfOver = bucketFrame((0 until 50).map(b => (b, 1000L)) ++
       (50 until 100).map(b => (b + 1000, 1L)))
     assert(DedupOps.dropOversizedBuckets(halfOver, Seq("bucket"), 10,
@@ -441,15 +450,11 @@ class ExactnessSpec extends SparkSpec {
     assert(eMaj.getMessage.contains("silently"), eMaj.getMessage)
   }
 
-  test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
-    // r15 verdict #1: the hard tripwire fires only on the shape-mismatch
-    // footgun (≥99% of BUCKETS over cap — every bucket drowned at once);
-    // below it a cap can still legally excise most of the candidate MASS.
-    // A 90%-hot corpus on the corpus-matched 8×10 shape puts ~90% of
-    // bucketed rows in 8 hot buckets (one per table) while hundreds of
-    // genuine-cluster buckets stay under the cap: the query must RUN
-    // (excising the hot cluster is the dial's purpose) and a WARNING must
-    // fire with the shape arithmetic, from the stats row already in hand.
+  /** Capture DedupOps WARN-level log messages for the duration of `body`
+    * via a log4j2 appender (the buffer is live — bodies may snapshot it
+    * mid-run to fence a silent control phase from a must-warn phase). */
+  private def withDedupWarnCapture[A](
+      body: scala.collection.mutable.ArrayBuffer[String] => A): A = {
     import org.apache.logging.log4j.Level
     import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.appender.AbstractAppender
@@ -468,9 +473,26 @@ class ExactnessSpec extends SparkSpec {
     lc.addAppender(appender, Level.WARN, null)
     cfg.addLogger(loggerName, lc)
     ctx.updateLoggers()
+    try body(captured)
+    finally {
+      cfg.removeLogger(loggerName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
+  test("bucket cap warn tier: 90%-hot corpus on a matched shape runs AND warns") {
+    // r15 verdict #1: the hard tripwire fires only on the shape-mismatch
+    // footgun (≥99% of BUCKETS over cap — every bucket drowned at once);
+    // below it a cap can still legally excise most of the candidate MASS.
+    // A 90%-hot corpus on the corpus-matched 8×10 shape puts ~90% of
+    // bucketed rows in 8 hot buckets (one per table) while hundreds of
+    // genuine-cluster buckets stay under the cap: the query must RUN
+    // (excising the hot cluster is the dial's purpose) and a WARNING must
+    // fire with the shape arithmetic, from the stats row already in hand.
     val dir = tools.Corpora.generateDenseDupVectors(spark, 20000, hotFrac = 0.9)
     spark.conf.set("graft.sim.bucketcap.adhoc", "512")
-    try {
+    try withDedupWarnCapture { captured =>
       val kept = SimilarityOps.lshCandidateIds(spark, dir, nTables = 8,
         planesPerTable = 10, prefilterTheta = Some(DedupOps.CosDedupThreshold)).count()
       assert(kept > 0, "sub-fatal mass loss must not empty the candidate set")
@@ -494,12 +516,7 @@ class ExactnessSpec extends SparkSpec {
       assert(captured.synchronized(captured.size) == before,
         "a 20%-hot corpus under a matched shape must not warn: " +
           captured.synchronized(captured.drop(before)).mkString("\n"))
-    } finally {
-      spark.conf.unset("graft.sim.bucketcap.adhoc")
-      cfg.removeLogger(loggerName)
-      ctx.updateLoggers()
-      appender.stop()
-    }
+    } finally spark.conf.unset("graft.sim.bucketcap.adhoc")
   }
 
   test("sim bucket cap is scoped per consumer: a dedup-tuned cap cannot degrade other routes") {
