@@ -99,12 +99,7 @@ object Bench {
     * min-of-passes values in `toJson`) is locale-independent already;
     * only %-style formatting isn't.
     */
-  private[graft] def num4(d: Double): String = num(d, 4)
-
-  /** The one home of the locale-safety rule (DedupOps' warn tier reuses
-    * it at 2 places — r17 review #1 deduplicated the two format sites). */
-  private[graft] def num(d: Double, places: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+  private[graft] def num4(d: Double): String = core.Fmt.num(d, 4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -474,11 +474,11 @@ object DedupOps extends QueryPack {
     if (total > 0L && over >= 0.5 * total) {
       // floored, not rounded: a 98.7% fraction must never print as the
       // 99% hard-fail threshold it sits below (round-16 review, 2nd pass);
-      // Locale.ROOT via Bench.num, not the f-interpolator (round-16
+      // Locale.ROOT via core.Fmt, not the f-interpolator (round-16
       // advice #4's bench fix, extended here by r17 advice #2): f"" uses
       // the JVM default locale, so a comma-decimal JVM would log '98,70%'
       val overPct = math.floor(overBuckets * 10000.0 / math.max(buckets, 1L)) / 100
-      val overPctStr = graft.Bench.num(overPct, 2)
+      val overPctStr = graft.core.Fmt.num(overPct, 2)
       log.warn(s"$dial=$cap drops $over of $total bucketed rows — over half " +
         s"the candidate mass ($overBuckets of $buckets buckets over the cap, " +
         s"smallest over-cap bucket $minOver). Legal — the guard reads " +

@@ -469,6 +469,11 @@ class ExactnessSpec extends SparkSpec {
     appender.start()
     val ctx = LoggerContext.getContext(false)
     val cfg = ctx.getConfiguration
+    // restore (not just remove) on exit: if a log4j2 config resource — or
+    // an enclosing capture — ever pins this logger, deleting its config
+    // for the rest of the JVM would silently change later tests' logging
+    // (r17 review, 2nd pass)
+    val prior = cfg.getLoggers.get(loggerName)
     val lc = new LoggerConfig(loggerName, Level.WARN, true)
     lc.addAppender(appender, Level.WARN, null)
     cfg.addLogger(loggerName, lc)
@@ -476,6 +481,7 @@ class ExactnessSpec extends SparkSpec {
     try body(captured)
     finally {
       cfg.removeLogger(loggerName)
+      if (prior != null) cfg.addLogger(loggerName, prior)
       ctx.updateLoggers()
       appender.stop()
     }
