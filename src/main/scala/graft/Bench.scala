@@ -92,6 +92,134 @@ object Bench {
     (threads, (1 to 3).map(_ => pass()).min)
   }
 
+  /** One full streaming pass over `a` starting at element `start` and
+    * wrapping — the fixed work unit behind both memory-bandwidth anchors.
+    * Returns the sum so callers can fold it into a side effect (DCE
+    * guard); the sum is start-independent, which the spec pins. */
+  private[graft] def sweep(a: Array[Long], start: Int): Long = {
+    val n = a.length
+    var s = 0L
+    var i = start
+    while (i < n) { s += a(i); i += 1 }
+    i = 0
+    while (i < start) { s += a(i); i += 1 }
+    s
+  }
+
+  /** Production size of the membw calibration array: 64M longs = 512 MiB,
+    * far above any plausible LLC so every sweep streams from DRAM. */
+  private val MembwLongs: Int = 1 << 26
+
+  /** Memory-bandwidth calibration anchors (round 20 — VERDICT r19 item
+    * 1a). The round-19 official bench broke the two XXH64 anchors'
+    * reading rule in a direction they cannot express: BOTH anchors
+    * flat-to-faster (calib_sec 0.333 s, 27% faster than r18; calib_mt_sec
+    * 0.177, the calmest ever recorded) while every query total moved UP
+    * 10–25% on a byte-identical source tree. The XXH64 chain is pure
+    * scalar CPU (one register-resident dependency chain, no memory
+    * traffic); Spark queries at local[32] are memory/shuffle-bound — a
+    * host-regime change that trades scalar speed against memory-subsystem
+    * throughput is invisible to both existing anchors. These two measure
+    * exactly that missing dimension: a streaming sum over a fixed
+    * 512 MiB long array, (1) single-threaded = per-core DRAM bandwidth
+    * (`calib_membw_sec`, 4 sweeps = 2 GiB of traffic per pass), and
+    * (2) one sweep per thread on every core at once, each thread starting
+    * at a staggered offset so threads cannot ride each other's cache
+    * lines = aggregate bandwidth under full fan-out (`calib_membw_mt_sec`,
+    * at the same width as `calib_mt_threads`). min-of-3 passes each, sums
+    * folded into a side effect against DCE, array allocated + paged in +
+    * JIT-warmed before any timing. Reading-rule addition (SCALE.md round
+    * 20): totals drifting WITH the membw anchors while the XXH64 pair
+    * stays flat = memory-regime change, not code.
+    *
+    * `longs`/`threads` are parameters so the spec can exercise the exact
+    * production code path at a small size; production calls pass
+    * [[MembwLongs]] and the processor count.
+    */
+  private[graft] def calibMembw(longs: Int, threads: Int): (Double, Double) = {
+    val a = new Array[Long](longs)
+    var i = 0
+    while (i < longs) { a(i) = i.toLong; i += 1 }
+    if (sweep(a, 0) == 1L) System.err.println("") // page-in + JIT warm
+    def passSt(): Double = {
+      val t0 = System.nanoTime()
+      var k = 0
+      var s = 0L
+      while (k < 4) { s += sweep(a, 0); k += 1 }
+      if (s == 1L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def passMt(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val off = ((a.length.toLong * t) / threads).toInt
+        val th = new Thread(() => { if (sweep(a, off) == 1L) System.err.println("") })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    ((1 to 3).map(_ => passSt()).min, (1 to 3).map(_ => passMt()).min)
+  }
+
+  /** Fixture physical stats (round 20 — VERDICT r19 item 1b): per-table
+    * parquet bytes + row-group count + footer row count for every
+    * `*.parquet` entry under `dir` (plain files and part-file
+    * directories both handled). Rationale: the round-19 drift
+    * adjudication had to treat the driver's mid-round fixture
+    * regeneration as an unverifiable confound — content is
+    * seed-deterministic, but physical layout (row-group sizing,
+    * encodings) drives scan parallelism, and the pre-regeneration files
+    * were gone. Recording the physical shape alongside every bench
+    * figure makes the next regeneration observable instead of a
+    * confound. Footer-only reads (~10 files), so the cost is
+    * microseconds against a multi-second bench. Never fails the bench:
+    * any per-table error is a stderr note and the table is skipped; a
+    * missing dir returns empty. */
+  private[graft] def fixtureStats(dir: String): Seq[(String, Long, Long, Long)] = {
+    import java.nio.file.{Files, Paths, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    def listDir(p: JPath): Seq[JPath] = {
+      val s = Files.list(p)
+      try s.iterator.asScala.toVector finally s.close()
+    }
+    def parquetFiles(p: JPath): Seq[JPath] =
+      if (Files.isRegularFile(p)) Seq(p)
+      else listDir(p).filter(f =>
+        Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    listDir(root)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .flatMap { t =>
+        val name = t.getFileName.toString.stripSuffix(".parquet")
+        try {
+          var bytes = 0L; var groups = 0L; var rows = 0L
+          parquetFiles(t).foreach { f =>
+            bytes += Files.size(f)
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try { groups += r.getRowGroups.size.toLong; rows += r.getRecordCount }
+            finally r.close()
+          }
+          Some((name, bytes, groups, rows))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] fixture stats for $name skipped: ${e.getMessage}")
+          None
+        }
+      }
+  }
+
+  /** JSON object for [[fixtureStats]] output (names are fixture file
+    * stems — alphanumeric by construction, no escaping needed). */
+  private[graft] def fixturesJson(stats: Seq[(String, Long, Long, Long)]): String =
+    stats.map { case (n, b, g, r) =>
+      "\"" + n + "\":{\"bytes\":" + b + ",\"row_groups\":" + g + ",\"rows\":" + r + "}"
+    }.mkString("{", ",", "}")
+
   /** Locale-independent 4-decimal JSON number — Locale.ROOT, not the
     * f-interpolator (round-16 advice #4): f"" formats with the JVM
     * default locale, and a comma-decimal locale (fr_FR, de_DE) would turn
@@ -212,9 +340,13 @@ object Bench {
     // warmup, and a load spike during measurement shows up in it
     val calib = calibSec()
     val (calibMtThreads, calibMt) = calibMtSec()
+    val (membw, membwMt) = calibMembw(MembwLongs, calibMtThreads)
+    val fixtures = fixturesJson(fixtureStats(sfDir))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
       s""""calib_sec":${num4(calib)},"calib_mt_sec":${num4(calibMt)},"calib_mt_threads":$calibMtThreads,""" +
-      s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},"sf":"$sfDir"}"""
+      s""""calib_membw_sec":${num4(membw)},"calib_membw_mt_sec":${num4(membwMt)},""" +
+      s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},""" +
+      s""""fixtures":$fixtures,"sf":"$sfDir"}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently
     // reported the -1.0 sentinel for a whole round). Named on stdout next to

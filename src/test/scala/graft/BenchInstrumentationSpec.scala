@@ -1,0 +1,87 @@
+package graft
+
+/** Pins the round-20 bench instrumentation (VERDICT r19 item 1): the
+  * memory-bandwidth calibration anchors and the fixture physical stats
+  * that ride the bench JSON. Both exist to make host-regime and
+  * fixture-layout changes observable instead of confounds — so the spec
+  * pins the parts a silent regression would corrupt: the sweep's
+  * arithmetic (a wrong wrap would time PARTIAL passes and understate
+  * bandwidth), the anchors' sanity at the exact production code path,
+  * and the stats' agreement with ground truth read back through Spark.
+  */
+class BenchInstrumentationSpec extends SparkSpec {
+
+  test("sweep sums the whole array from any start offset (wrap is total)") {
+    val a = Array.tabulate(101)(_.toLong) // 0..100 → sum 5050
+    assert(Bench.sweep(a, 0) === 5050L)
+    // staggered offsets — the MT anchor's thread starts — must cover the
+    // SAME fixed work, or per-thread effort would depend on thread index
+    for (off <- Seq(1, 37, 50, 100))
+      assert(Bench.sweep(a, off) === 5050L, s"offset $off")
+  }
+
+  test("membw anchors are positive, finite, and ordered sanely at small size") {
+    // exact production code path, small array (512 KiB) so the spec is fast
+    val (st, mt) = Bench.calibMembw(1 << 16, 4)
+    assert(st > 0.0 && java.lang.Double.isFinite(st))
+    assert(mt > 0.0 && java.lang.Double.isFinite(mt))
+  }
+
+  test("fixtureStats matches ground truth on the real sf0.001 fixtures") {
+    val stats = Bench.fixtureStats(sfDir)
+    val byName = stats.map(s => s._1 -> s).toMap
+    // every driver-generated table present, with positive physical stats
+    val expected = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (t <- expected) {
+      val (_, bytes, groups, rows) = byName.getOrElse(t, fail(s"missing table $t"))
+      assert(bytes > 0L, s"$t bytes"); assert(groups > 0L, s"$t row groups")
+      assert(rows > 0L, s"$t rows")
+    }
+    // footer row counts must agree with what Spark actually reads — the
+    // stat is only useful for drift adjudication if it is ground truth
+    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(byName("lineitem")._4 === liRows)
+    // bytes must agree with the filesystem
+    assert(byName("lineitem")._2 ===
+      java.nio.file.Files.size(java.nio.file.Paths.get(s"$sfDir/lineitem.parquet")))
+  }
+
+  test("fixtureStats handles part-file directories (Spark-written tables)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fixstats").toString
+    try {
+      import spark.implicits._
+      val n = 100L
+      spark.range(n).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(3).write.parquet(s"$tmp/t.parquet")
+      val stats = Bench.fixtureStats(tmp)
+      assert(stats.map(_._1) === Seq("t"))
+      val (_, bytes, groups, rows) = stats.head
+      assert(rows === n)
+      assert(groups >= 3L, "each non-empty part file carries >=1 row group")
+      val dir = java.nio.file.Paths.get(s"$tmp/t.parquet")
+      val s = java.nio.file.Files.list(dir)
+      val partBytes =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).sum
+        } finally s.close()
+      assert(bytes === partBytes)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("fixtureStats on a missing dir is empty, not an error") {
+    assert(Bench.fixtureStats("/nonexistent/graft_nowhere") === Seq.empty)
+  }
+
+  test("fixturesJson renders a stable one-line object") {
+    val j = Bench.fixturesJson(Seq(("a", 10L, 2L, 3L), ("b", 5L, 1L, 1L)))
+    assert(j === """{"a":{"bytes":10,"row_groups":2,"rows":3},"b":{"bytes":5,"row_groups":1,"rows":1}}""")
+    assert(Bench.fixturesJson(Seq.empty) === "{}")
+    assert(!j.contains("\n"))
+  }
+}
