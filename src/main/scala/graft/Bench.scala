@@ -185,10 +185,17 @@ object Bench {
       val s = Files.list(p)
       try s.iterator.asScala.toVector finally s.close()
     }
+    // recursive walk, not one-level listing: a partitioned table
+    // (t.parquet/p=.../part-*.parquet) nests its files a level down, and
+    // one-level listing would silently record it as (0,0,0) ground truth
     def parquetFiles(p: JPath): Seq[JPath] =
       if (Files.isRegularFile(p)) Seq(p)
-      else listDir(p).filter(f =>
-        Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+      else {
+        val s = Files.walk(p)
+        try s.iterator.asScala.filter(f =>
+          Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet")).toVector
+        finally s.close()
+      }
     val conf = new org.apache.hadoop.conf.Configuration()
     listDir(root)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -196,16 +203,25 @@ object Bench {
       .flatMap { t =>
         val name = t.getFileName.toString.stripSuffix(".parquet")
         try {
-          var bytes = 0L; var groups = 0L; var rows = 0L
-          parquetFiles(t).foreach { f =>
-            bytes += Files.size(f)
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(f.toUri), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try { groups += r.getRowGroups.size.toLong; rows += r.getRecordCount }
-            finally r.close()
+          val files = parquetFiles(t)
+          // skip, don't zero-fill: a (0,0,0) row would read as "the
+          // fixture was empty" to a drift adjudicator, when the truth is
+          // "there was nothing readable here"
+          if (files.isEmpty) {
+            System.err.println(s"[bench] fixture stats for $name skipped: no parquet files")
+            None
+          } else {
+            var bytes = 0L; var groups = 0L; var rows = 0L
+            files.foreach { f =>
+              bytes += Files.size(f)
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.toUri), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try { groups += r.getRowGroups.size.toLong; rows += r.getRecordCount }
+              finally r.close()
+            }
+            Some((name, bytes, groups, rows))
           }
-          Some((name, bytes, groups, rows))
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] fixture stats for $name skipped: ${e.getMessage}")
           None
@@ -213,11 +229,22 @@ object Bench {
       }
   }
 
-  /** JSON object for [[fixtureStats]] output (names are fixture file
-    * stems — alphanumeric by construction, no escaping needed). */
+  /** Minimal JSON string escape for fixture table names. Today's fixture
+    * stems are alphanumeric, but [[fixtureStats]] picks up ANY `*.parquet`
+    * entry under the dir — a stray name with a quote/backslash/control
+    * char must not corrupt the one-line bench contract. */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+  /** JSON object for [[fixtureStats]] output. */
   private[graft] def fixturesJson(stats: Seq[(String, Long, Long, Long)]): String =
     stats.map { case (n, b, g, r) =>
-      "\"" + n + "\":{\"bytes\":" + b + ",\"row_groups\":" + g + ",\"rows\":" + r + "}"
+      "\"" + jsonEscape(n) + "\":{\"bytes\":" + b + ",\"row_groups\":" + g + ",\"rows\":" + r + "}"
     }.mkString("{", ",", "}")
 
   /** Locale-independent 4-decimal JSON number — Locale.ROOT, not the
@@ -340,8 +367,21 @@ object Bench {
     // warmup, and a load spike during measurement shows up in it
     val calib = calibSec()
     val (calibMtThreads, calibMt) = calibMtSec()
-    val (membw, membwMt) = calibMembw(MembwLongs, calibMtThreads)
-    val fixtures = fixturesJson(fixtureStats(sfDir))
+    // Throwable, not NonFatal: the 512 MiB calib array is the one
+    // allocation in main that can plausibly OOM (heap is
+    // SPARK_DRIVER_MEM-overridable), OutOfMemoryError is NOT NonFatal,
+    // and this runs AFTER every measured pass — an unguarded throw here
+    // would discard minutes of completed measurements without printing
+    // the JSON line. Allocation failure leaves no half-state to corrupt;
+    // the -1.0 sentinel marks the anchor unusable, like a failed query.
+    val (membw, membwMt) =
+      try calibMembw(MembwLongs, calibMtThreads)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] membw calib failed: $e"); (-1.0, -1.0) }
+    val fixtures = fixturesJson(
+      try fixtureStats(sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fixture stats failed: ${e.getMessage}"); Seq.empty })
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
       s""""calib_sec":${num4(calib)},"calib_mt_sec":${num4(calibMt)},"calib_mt_threads":$calibMtThreads,""" +
       s""""calib_membw_sec":${num4(membw)},"calib_membw_mt_sec":${num4(membwMt)},""" +

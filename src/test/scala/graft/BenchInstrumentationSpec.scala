@@ -20,8 +20,10 @@ class BenchInstrumentationSpec extends SparkSpec {
       assert(Bench.sweep(a, off) === 5050L, s"offset $off")
   }
 
-  test("membw anchors are positive, finite, and ordered sanely at small size") {
-    // exact production code path, small array (512 KiB) so the spec is fast
+  test("membw anchors are positive and finite on the production code path") {
+    // exact production code path, small array (512 KiB) so the spec is
+    // fast; no ST-vs-MT ordering assertion — at cache-resident sizes the
+    // relationship is scheduler noise, not a pinned property
     val (st, mt) = Bench.calibMembw(1 << 16, 4)
     assert(st > 0.0 && java.lang.Double.isFinite(st))
     assert(mt > 0.0 && java.lang.Double.isFinite(mt))
@@ -74,6 +76,26 @@ class BenchInstrumentationSpec extends SparkSpec {
     }
   }
 
+  test("fixtureStats counts partitioned layouts and skips empty dirs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fixstats2").toString
+    try {
+      import spark.implicits._
+      // partitioned table: files nest one level down (t.parquet/p=…/part-*)
+      spark.range(60).map(i => (i, (i % 3).toInt)).toDF("k", "p")
+        .write.partitionBy("p").parquet(s"$tmp/t.parquet")
+      // empty directory: nothing readable — must be SKIPPED, not recorded
+      // as (0,0,0) ground truth a drift adjudicator would misread
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/empty.parquet"))
+      val stats = Bench.fixtureStats(tmp)
+      assert(stats.map(_._1) === Seq("t"))
+      assert(stats.head._4 === 60L)
+      assert(stats.head._3 >= 3L, "one row group per partition at minimum")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("fixtureStats on a missing dir is empty, not an error") {
     assert(Bench.fixtureStats("/nonexistent/graft_nowhere") === Seq.empty)
   }
@@ -83,5 +105,12 @@ class BenchInstrumentationSpec extends SparkSpec {
     assert(j === """{"a":{"bytes":10,"row_groups":2,"rows":3},"b":{"bytes":5,"row_groups":1,"rows":1}}""")
     assert(Bench.fixturesJson(Seq.empty) === "{}")
     assert(!j.contains("\n"))
+  }
+
+  test("fixturesJson escapes hostile table names instead of corrupting the line") {
+    val j = Bench.fixturesJson(Seq(("a\"b\\c", 1L, 1L, 1L), ("t\tab", 2L, 1L, 1L)))
+    assert(j === "{\"a\\\"b\\\\c\":{\"bytes\":1,\"row_groups\":1,\"rows\":1}," +
+      "\"t\\u0009ab\":{\"bytes\":2,\"row_groups\":1,\"rows\":1}}")
+    assert(!j.contains("\n") && !j.contains("\t"))
   }
 }
