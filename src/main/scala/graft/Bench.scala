@@ -235,10 +235,13 @@ object Bench {
     * char must not corrupt the one-line bench contract. */
   private def jsonEscape(s: String): String =
     s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' =>
+        // no format-string interpolation anywhere near the JSON line (the
+        // round-16 locale rule below): hex digits built by hand
+        "\\u" + ("000" + Integer.toHexString(c.toInt)).takeRight(4)
+      case c            => c.toString
     }
 
   /** JSON object for [[fixtureStats]] output. */
