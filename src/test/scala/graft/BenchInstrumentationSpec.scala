@@ -5,7 +5,7 @@ package graft
   * that ride the bench JSON. Both exist to make host-regime and
   * fixture-layout changes observable instead of confounds — so the spec
   * pins the parts a silent regression would corrupt: the sweep's
-  * arithmetic (a wrong wrap would time PARTIAL passes and understate
+  * arithmetic (a wrong wrap would time PARTIAL passes and overstate
   * bandwidth), the anchors' sanity at the exact production code path,
   * and the stats' agreement with ground truth read back through Spark.
   */
