@@ -149,13 +149,26 @@ object Bench {
       if (s == 1L) System.err.println("")
       (System.nanoTime() - t0) / 1e9
     }
+    // threads are created AND started before the clock: the r20 form timed
+    // thread creation/start inside the measured region (~few ms of an
+    // ~85 ms figure — ADVICE r20 #1). A CountDownLatch gates the sweeps so
+    // only sweeping is timed. Caveat (same advice): the staggered offsets
+    // stop adjacent threads riding each other's cache lines, but on a
+    // large-LLC host trailing threads can still hit LLC-resident lines
+    // fetched by leaders — read the figure as a relative drift anchor, not
+    // absolute DRAM bandwidth.
     def passMt(): Double = {
-      val t0 = System.nanoTime()
+      val start = new java.util.concurrent.CountDownLatch(1)
       val ts = (0 until threads).map { t =>
         val off = ((a.length.toLong * t) / threads).toInt
-        val th = new Thread(() => { if (sweep(a, off) == 1L) System.err.println("") })
+        val th = new Thread(() => {
+          start.await()
+          if (sweep(a, off) == 1L) System.err.println("")
+        })
         th.start(); th
       }
+      val t0 = System.nanoTime()
+      start.countDown()
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
@@ -249,6 +262,28 @@ object Bench {
     stats.map { case (n, b, g, r) =>
       "\"" + jsonEscape(n) + "\":{\"bytes\":" + b + ",\"row_groups\":" + g + ",\"rows\":" + r + "}"
     }.mkString("{", ",", "}")
+
+  /** Compact machine-readable headline record (round 21 — VERDICT r20
+    * item 1). BENCH_r20.json came back `"parsed": null`: the r20
+    * instrumentation (membw anchors + fixture stats) grew the one-line
+    * verbose JSON past the driver's finite stdout tail-capture window, so
+    * the captured tail began MID-LINE and the head of the record
+    * (metric/value/queries/banded) was cut off. The contract surface is
+    * the driver's CAPTURE of the line, not the line itself — so the LAST
+    * stdout line is now this compact record holding every headline key
+    * (metric, total, per-query mins, banded mins, all four calib anchors,
+    * sf) and nothing sample- or fixture-shaped, spec-pinned under a 1.5 KB
+    * byte budget. The verbose record (samples, fixtures) still prints one
+    * line earlier and still lands in bench_result.json, so no information
+    * is lost — it just no longer has to survive the capture window.
+    */
+  private[graft] def headlineJson(total: Double, qs: String, bq: String,
+      calib: Double, calibMt: Double, calibMtThreads: Int,
+      membw: Double, membwMt: Double, sfDir: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
+      s""""calib_sec":${num4(calib)},"calib_mt_sec":${num4(calibMt)},"calib_mt_threads":$calibMtThreads,""" +
+      s""""calib_membw_sec":${num4(membw)},"calib_membw_mt_sec":${num4(membwMt)},""" +
+      s""""sf":"${jsonEscape(sfDir)}"}"""
 
   /** Locale-independent 4-decimal JSON number — Locale.ROOT, not the
     * f-interpolator (round-16 advice #4): f"" formats with the JVM
@@ -379,17 +414,35 @@ object Bench {
     // the -1.0 sentinel marks the anchor unusable, like a failed query.
     val (membw, membwMt) =
       try calibMembw(MembwLongs, calibMtThreads)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] membw calib failed: $e"); (-1.0, -1.0) }
+      catch {
+        // OutOfMemoryError named, not a blanket Throwable (ADVICE r20 #3):
+        // the blanket also swallowed InterruptedException without restoring
+        // the interrupt flag and continued after arbitrary
+        // VirtualMachineErrors where the JSON printing below may itself be
+        // unreliable. Allocation failure leaves no half-state to corrupt;
+        // the -1.0 sentinel marks the anchor unusable, like a failed query.
+        case e: OutOfMemoryError =>
+          System.err.println(s"[bench] membw calib failed: $e"); (-1.0, -1.0)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[bench] membw calib interrupted: $e"); (-1.0, -1.0)
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] membw calib failed: $e"); (-1.0, -1.0)
+      }
     val fixtures = fixturesJson(
       try fixtureStats(sfDir)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] fixture stats failed: ${e.getMessage}"); Seq.empty })
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"banded":$bq,""" +
-      s""""calib_sec":${num4(calib)},"calib_mt_sec":${num4(calibMt)},"calib_mt_threads":$calibMtThreads,""" +
-      s""""calib_membw_sec":${num4(membw)},"calib_membw_mt_sec":${num4(membwMt)},""" +
-      s""""samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},""" +
-      s""""fixtures":$fixtures,"sf":"$sfDir"}"""
+    // one source of truth for the headline keys: the verbose line is the
+    // compact record with the samples/fixtures payload spliced in before
+    // the closing brace ("sf" rides both; escaped — ADVICE r20 #2: fixture
+    // names were escaped but the interpolated path was not, the exact
+    // corruption mode the escaping commit fixed)
+    val headlineLine = headlineJson(total, qs, bq,
+      calib, calibMt, calibMtThreads, membw, membwMt, sfDir)
+    val line = headlineLine.stripSuffix("}") +
+      s""","samples":${samplesJson(results)},"banded_samples":${samplesJson(bandedResults)},""" +
+      s""""fixtures":$fixtures}"""
     println(line)
     // LOUD failure surface (round-8 lesson: three headline queries silently
     // reported the -1.0 sentinel for a whole round). Named on stdout next to
@@ -397,6 +450,9 @@ object Bench {
     val benchFailed = (results ++ bandedResults).collect { case (n, v, _) if v < 0 => n }
     if (benchFailed.nonEmpty)
       println(s"[bench-FAILED] ${benchFailed.size} queries errored: ${benchFailed.mkString(", ")}")
+    // the compact headline record goes LAST so it sits wholly inside the
+    // driver's tail-capture window whatever the verbose line's size does
+    println(headlineLine)
     // sbt prefixes stdout with "[info] ", which defeated the driver's JSON
     // parse in round 1 — also write the line to a file it can read directly
     // (cwd and, when launched elsewhere, the known repo root). Both copies

@@ -107,6 +107,53 @@ class BenchInstrumentationSpec extends SparkSpec {
     assert(!j.contains("\n"))
   }
 
+  /** Representative headline record at full production width: 13 headline
+    * queries + 4 banded, realistic magnitudes — what the compact line
+    * carries on a real bench run.
+    */
+  private def productionWidthHeadline: String = {
+    val qs = (1 to 13).map(i => "\"query_name_of_width_" + "%02d".format(i) + "\":0.123456789012345")
+      .mkString("{", ",", "}")
+    val bq = (1 to 4).map(i => "\"banded_query_name_wd_" + "%02d".format(i) + "\":1.234567890123456")
+      .mkString("{", ",", "}")
+    Bench.headlineJson(12.345678901234567, qs, bq,
+      0.3836, 0.1731, 32, 0.1924, 0.0777, "/root/testdata/sf0.1")
+  }
+
+  test("headlineJson parses as JSON with every headline key and no payload keys") {
+    // the round-21 contract fix (VERDICT r20 item 1): BENCH_r20 came back
+    // "parsed": null because the verbose line outgrew the driver's stdout
+    // tail capture — the LAST stdout line is now this compact record
+    val line = productionWidthHeadline
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText === "total")
+    assert(node.get("value").asDouble > 0.0)
+    assert(node.get("unit").asText === "sec")
+    assert(node.get("queries").size === 13)
+    assert(node.get("banded").size === 4)
+    for (k <- Seq("calib_sec", "calib_mt_sec", "calib_membw_sec", "calib_membw_mt_sec"))
+      assert(node.get(k).asDouble > 0.0, k)
+    assert(node.get("calib_mt_threads").asInt === 32)
+    assert(node.get("sf").asText === "/root/testdata/sf0.1")
+    // nothing sample- or fixture-shaped may ride the compact line — those
+    // payloads are exactly what outgrew the capture window
+    for (k <- Seq("samples", "banded_samples", "fixtures"))
+      assert(!node.has(k), k)
+    assert(!line.contains("\n"))
+  }
+
+  test("headlineJson stays under the 1.5 KB capture budget at production width") {
+    val bytes = productionWidthHeadline.getBytes("UTF-8").length
+    assert(bytes <= 1536, s"compact headline line is $bytes bytes")
+  }
+
+  test("headlineJson escapes a hostile sf path instead of corrupting the line") {
+    val line = Bench.headlineJson(1.0, "{}", "{}", 0.1, 0.1, 4, 0.1, 0.1,
+      "/tmp/we\"ird\\dir\tx")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("sf").asText === "/tmp/we\"ird\\dir\tx")
+  }
+
   test("fixturesJson escapes hostile table names instead of corrupting the line") {
     val j = Bench.fixturesJson(Seq(("a\"b\\c", 1L, 1L, 1L), ("t\tab", 2L, 1L, 1L)))
     assert(j === "{\"a\\\"b\\\\c\":{\"bytes\":1,\"row_groups\":1,\"rows\":1}," +
