@@ -28,6 +28,12 @@ object Bench {
     "dedup_minhash_lsh",    // MinHash+LSH banding + verify
     "sim_cosine_topk")      // brute-force cosine top-k (codegen expr)
 
+  /** Banded-LSH scale-path block (timed under `graft.sim.exact=false`, the
+    * 100 TB deployment route). A field, not a main-local, so plan-dump
+    * tooling iterates the same set the bench times. */
+  val banded: Seq[String] = Seq("sim_pairs_threshold", "sim_nearest_same_label",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard")
+
   /** One dependency chain of `n` XXH64 long hashes — the fixed work unit
     * behind BOTH calibration anchors below (the chain defeats ILP and
     * DCE, so its wall tracks scalar CPU speed, not issue width). */
@@ -393,8 +399,7 @@ object Bench {
     // the configuration a 100 TB deployment runs the similarity/dedup
     // family under. Separate JSON key so the headline block (and its
     // total) stays comparable round-over-round.
-    val bandedSet = Seq("sim_pairs_threshold", "sim_nearest_same_label",
-      "dedup_embedding_cosine", "dedup_ngram_jaccard")
+    val bandedSet = banded
     spark.conf.set("graft.sim.exact", "false")
     bandedSet.foreach(run) // warmup: banded plans codegen fresh classes
     val bandedResults = measure(bandedSet)

@@ -530,31 +530,39 @@ object DedupOps extends QueryPack {
     // condition needs doc_id alone, so the slice cut comes first)
     val sliced = shingledRaw(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val shCand = (if (hashVerify(spark))
+    // per-doc set size as a WINDOW computed INSIDE the checkpointed slice
+    // (round 21): the previous shape aggregated sizes separately and
+    // joined them onto the per-pair stats twice — one aggregation exchange
+    // plus two joins (each an AQE stage + broadcast build). Carrying `n`
+    // on the slice rows through the intersection joins costs one
+    // exchange+sort on doc_id, runs ONCE in the checkpoint
+    // materialization (both join legs read the persisted blocks), and
+    // deletes all three; output identical (n is constant per doc_id
+    // group; min() in the pair agg just picks it up).
+    // Slice-proportional like everything here, so scale posture unchanged.
+    val shN = (if (hashVerify(spark))
         sliced.select($"doc_id", xxhash64($"shingle").as("shingle"))
       else sliced)
       .distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       // candidate-slice only; localCheckpoint over .cache() for the same
       // ContextCleaner-managed lifetime as minhashCandidates above
       .localCheckpoint(true)
-    val sizes = shCand.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // NO broadcast hint on the candidate PAIR set or the sizes joins
-    // (round 11): the pair set is candidate-proportional, and a forced
-    // broadcast of it is the same pathology class as the r10 blob
-    // broadcast — measured fatal on a boilerplate corpus at the 16x1
-    // recall-total shape (37 M surviving pairs →
-    // notEnoughMemoryToBuildAndBroadcastTableError on the driver). AQE
-    // converts these joins to broadcast at runtime whenever the sides are
-    // genuinely small (the gate corpus), and shuffles them when they
-    // aren't — the id-width candDocs semi-join above keeps its hint
-    // because it IS the slice contract (ids only, never pair-shaped).
-    val common = candidates
-      .join(shCand.select($"doc_id".as("d1"), $"shingle"), Seq("d1"))
-      .join(shCand.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+    // NO broadcast hint on the candidate PAIR set (round 11): it is
+    // candidate-proportional, and a forced broadcast of it is the same
+    // pathology class as the r10 blob broadcast — measured fatal on a
+    // boilerplate corpus at the 16x1 recall-total shape (37 M surviving
+    // pairs → notEnoughMemoryToBuildAndBroadcastTableError on the
+    // driver). AQE converts these joins to broadcast at runtime whenever
+    // the sides are genuinely small (the gate corpus), and shuffles them
+    // when they aren't — the id-width candDocs semi-join above keeps its
+    // hint because it IS the slice contract (ids only, never
+    // pair-shaped).
+    candidates
+      .join(shN.select($"doc_id".as("d1"), $"shingle", $"n".as("n1")), Seq("d1"))
+      .join(shN.select($"doc_id".as("d2"), $"shingle", $"n".as("n2")), Seq("d2", "shingle"))
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("common"), min($"n1").as("n1"), min($"n2").as("n2"))
       .withColumn("jaccard", $"common" / ($"n1" + $"n2" - $"common"))
   }
 

@@ -145,21 +145,36 @@ object Joins extends QueryPack {
   /** N-ary OverrideRecordReader: the RIGHTMOST snapshot that has the key
     * wins, whole-record (NOT per-column coalesce — a later snapshot with a
     * null payload column must still shadow the earlier record entirely).
-    * Implemented as iterated full_outer + key-presence switch; keys absent
-    * from later snapshots pass through. All snapshots share a schema.
+    * Keys absent from later snapshots pass through. All snapshots share a
+    * schema and key on non-null keys (WritableComparable parity).
     * Reference: `src/mapred/.../join/OverrideRecordReader.java`
     * anchor:`fillJoinCollector`. Property-tested against a fold-left map
     * model in JoinPropSpec (SURVEY §7.4 risk 1).
+    *
+    * Implementation (round 21): union the index-tagged snapshots and keep
+    * the max-index record per key — the merge-stream shape the reference
+    * reader actually has (it walks co-sorted inputs and emits the
+    * rightmost per key). The previous iterated full_outer + key-presence
+    * switch paid two exchanges plus sorts PER JOIN LEVEL (2(N−1)
+    * exchanges for N snapshots, + the caller's closing sort); the union
+    * form is ONE range exchange on the key whatever N is, which also
+    * clusters the output so a caller's key-prefixed total order needs no
+    * further exchange (plan on join_override: 3 Exchange → 1).
+    * row_number — not max_by(struct) — keeps the per-key pick off the
+    * SortAggregate struct-buffer path (the round-7 finding).
     */
-  def overrideMerge(snapshots: Seq[DataFrame], key: String): DataFrame =
-    snapshots.reduce { (l, r) =>
-      val cols = l.columns
-      val rr = r.columns.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
-      val rightHasKey = col(s"__r_$key").isNotNull
-      l.join(rr, l(key) === rr(s"__r_$key"), "full_outer")
-        .select(cols.map(c =>
-          when(rightHasKey, col(s"__r_$c")).otherwise(col(c)).as(c)).toSeq: _*)
+  def overrideMerge(snapshots: Seq[DataFrame], key: String): DataFrame = {
+    val cols = snapshots.head.columns
+    val tagged = snapshots.zipWithIndex.map { case (df, i) =>
+      df.withColumn("__snap", lit(i))
     }
+    val w = Window.partitionBy(col(key)).orderBy(col("__snap").desc)
+    tagged.reduce(_.unionByName(_))
+      .repartitionByRange(col(key))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col).toSeq: _*)
+  }
 
   /** OverrideRecordReader parity query: newer snapshot overrides older, per
     * key; keys only in the base pass through. Delta here: open orders

@@ -147,7 +147,16 @@ object Relational extends QueryPack {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // ONE range exchange serves both operators (round 21, guide §2.4
+    // "two operations keyed the same way can share one exchange"): range
+    // partitioning on user_id clusters each key into a single partition —
+    // satisfying the window's ClusteredDistribution — and is an ordered
+    // prefix of the final (user_id, seq) sort, so the closing orderBy
+    // needs only a partition-local sort instead of its own
+    // hash-then-range exchange pair (plan: 2 Exchange → 1; the range
+    // sampling pass moves from the window output to the narrower scan).
     Tables.events(spark, dir)
+      .repartitionByRange($"user_id")
       .select($"user_id", $"ts", $"event_id", $"event_type",
         row_number().over(w).as("seq"))
       .orderBy($"user_id", $"seq")

