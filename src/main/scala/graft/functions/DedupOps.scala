@@ -636,7 +636,9 @@ object DedupOps extends QueryPack {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = simhashSigsOf(Tables.documents(spark, dir))
+    // fan out the signature kernel exactly as in [[simhash]]
+    val sigs = simhashSigsOf(graft.core.Fanout.maybeFanout(
+      Tables.documents(spark, dir), col("doc_id")))
     val banded = sigs.select($"doc_id", $"sig",
         explode(array((0 until SimhashBands).map { t =>
           struct(lit(t).as("band"),

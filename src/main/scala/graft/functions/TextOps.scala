@@ -163,7 +163,10 @@ object TextOps extends QueryPack {
       langStops.toSeq.sortBy(_._1).map { case (l, ws) =>
         size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
       }
-    val scored = Tables.documents(spark, dir).select(scoreCols: _*)
+    // fan out: five stopword-profile filters per doc measured ~0.9 s in
+    // ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5)
+    val scored = graft.core.Fanout.maybeFanout(
+      Tables.documents(spark, dir), $"doc_id").select(scoreCols: _*)
     scored.withColumn("pred_lang",
       when($"s_zh" > 0, lit("zh"))
         .when(greatest($"s_de", $"s_en", $"s_es", $"s_fr") === lit(0), lit("und"))
@@ -188,7 +191,9 @@ object TextOps extends QueryPack {
     val shingles = transform(
       sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
       i => concat_ws(" ", slice($"toks", i, lit(3))))
-    Tables.documents(spark, dir)
+    // fan out: per-shingle md5 via interpreted transform measured ~1.1 s
+    // fused into ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5)
+    graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
       .select($"doc_id", norm.as("norm"), tokens(norm).as("toks"))
       .select($"doc_id",
         md5($"norm").as("doc_md5"),
@@ -285,7 +290,11 @@ object TextOps extends QueryPack {
     */
   def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir).select(explode(cleanToks).as("term"))
+    // fan out: 4 md5 hashes per token (cmBuckets) measured ~1.5 s fused
+    // into ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5); cell
+    // counts are order-insensitive so the fan-out is result-transparent
+    val toks = graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
+      .select(explode(cleanToks).as("term"))
     val cells = toks
       .select(explode(cmBuckets($"term")).as("rc"))
       .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
@@ -584,7 +593,10 @@ object TextOps extends QueryPack {
     // bind the token array before bigramsOf's index-transform lambda
     // (quadratic-eval hazard — see bigramsOf)
     val bigrams = bigramsOf($"toks")
-    Tables.documents(spark, dir)
+    // fan out: the interpreted HOF kernels below (array_sort run-length,
+    // bigram array_distinct) measured ~1.9 s fused into ONE scan task at
+    // sf0.1 (graft.core.Fanout scaladoc; guide §2.5)
+    graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
       .withColumn("toks", cleanToks)
       // zero-token docs have no repetition fractions (0/0) and no rows in
       // the oracle's token-stream CTEs — drop them on BOTH sides

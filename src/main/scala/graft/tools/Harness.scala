@@ -533,7 +533,10 @@ object Harness {
     spark.conf.set("graft.sums.exact", "false")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000).count() // session warm
-    for (name <- args.toSeq) {
+    val names =
+      if (args.toSeq == Seq("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       val banded = graft.Bench.banded.contains(name)
       if (banded) spark.conf.set("graft.sim.exact", "false")
