@@ -51,19 +51,35 @@ object Fanout {
   private[graft] def enabled(df: DataFrame): Boolean =
     df.sparkSession.conf
       .get("graft.fanout", sys.env.getOrElse("SPARK_GRAFT_FANOUT", "true"))
-      .toBoolean
+      .trim.toLowerCase match {
+      // accept the natural shell toggles; FAIL LOUD on anything else —
+      // a typo'd dial silently defaulting would invalidate an A/B
+      case "true" | "1" | "on" | "yes"  => true
+      case "false" | "0" | "off" | "no" => false
+      case other => sys.error(
+        s"graft.fanout / SPARK_GRAFT_FANOUT must be true/false (or 1/0, on/off), got '$other'")
+    }
 
-  /** Total bytes of the local files backing `df`, or None when any part
-    * of the listing is not cheaply sizeable (non-file scheme, missing,
-    * in-memory frame).
-    */
-  private def inputBytes(df: DataFrame): Option[Long] =
+  /** Total bytes of the local files backing `df` (clamped at `cap`), or
+    * None when any part of the listing is not cheaply sizeable (non-file
+    * scheme, missing, in-memory frame). `cap` stops the sweep once the
+    * total can no longer trigger a fan-out — the skip decision must not
+    * itself cost O(#files) stats on exactly the many-file layouts where
+    * fan-out is a no-op. */
+  private def inputBytes(df: DataFrame, cap: Long): Option[Long] =
     scala.util.Try {
       val files = df.inputFiles
       if (files.isEmpty) None
-      else Some(files.map { f =>
-        java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
-      }.sum)
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < files.length && sum < cap) {
+          sum += java.nio.file.Files.size(
+            java.nio.file.Paths.get(new java.net.URI(files(i))))
+          i += 1
+        }
+        Some(sum)
+      }
     }.toOption.flatten
 
   /** `df` repartitioned by `key` to the session's default parallelism iff
@@ -76,7 +92,7 @@ object Fanout {
     val parallelism = spark.sparkContext.defaultParallelism
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    inputBytes(df) match {
+    inputBytes(df, cap = parallelism * maxPartitionBytes) match {
       case Some(bytes)
           if (bytes + maxPartitionBytes - 1) / maxPartitionBytes < parallelism =>
         df.repartition(parallelism, key)

@@ -636,7 +636,10 @@ object DedupOps extends QueryPack {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // fan out the signature kernel exactly as in [[simhash]]
+    // fan out: unlike [[simhash]] (index only, where the A/B measured the
+    // exchange costing more than the kernel), the pairing pays the sig
+    // kernel AND the band self-join above one scan task — fan-out
+    // measured 1.0 -> 0.6-0.7 s
     val sigs = simhashSigsOf(graft.core.Fanout.maybeFanout(
       Tables.documents(spark, dir), col("doc_id")))
     val banded = sigs.select($"doc_id", $"sig",

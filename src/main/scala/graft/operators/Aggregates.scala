@@ -196,7 +196,7 @@ object Aggregates extends QueryPack {
     // distinct (type, user) pairs first — a narrow, map-combinable agg —
     // then count pairs (= exact distinct; count(user_id) skips a null
     // user group exactly like COUNT(DISTINCT) does) and run ONE HLL per
-    // type. Measured 2.9 s → ~0.4 s; estimate and exact count unchanged.
+    // type. Measured 2.9 s → ~1.4 s; estimate and exact count unchanged.
     Tables.events(spark, dir)
       .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")

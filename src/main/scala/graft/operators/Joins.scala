@@ -146,7 +146,12 @@ object Joins extends QueryPack {
     * wins, whole-record (NOT per-column coalesce — a later snapshot with a
     * null payload column must still shadow the earlier record entirely).
     * Keys absent from later snapshots pass through. All snapshots share a
-    * schema and key on non-null keys (WritableComparable parity).
+    * schema and key on non-null keys, AT MOST ONE record per key per
+    * snapshot (WritableComparable + per-input-uniqueness parity, the
+    * reference reader's contract; the fold-left map model is only
+    * well-defined under both). Out-of-contract inputs pick an arbitrary
+    * row per (key, snapshot) tie where the old join form multiplied
+    * rows.
     * Reference: `src/mapred/.../join/OverrideRecordReader.java`
     * anchor:`fillJoinCollector`. Property-tested against a fold-left map
     * model in JoinPropSpec (SURVEY §7.4 risk 1).

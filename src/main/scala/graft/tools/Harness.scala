@@ -541,13 +541,25 @@ object Harness {
       val banded = graft.Bench.banded.contains(name)
       if (banded) spark.conf.set("graft.sim.exact", "false")
       noop(fn(spark, dir)) // warm: codegen/JIT, like Bench's untimed pass
+      // flush the warm pass's events BEFORE attaching: the async bus
+      // dispatches to listeners present at DISPATCH time, so a backlog
+      // would otherwise attribute warm-pass stages to the measured pass
+      BusDrain.drain(spark)
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val jobs = new AtomicLong(0)
+      val sentinelStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val listener = new SparkListener {
-        override def onJobStart(e: SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val desc = Option(e.properties)
+            .map(_.getProperty("spark.job.description")).getOrElse("")
+          // the closing drain's own sentinel job must not count
+          if (desc != null && desc.startsWith(BusDrain.SentinelPrefix)) {
+            e.stageInfos.foreach(si => sentinelStages.add(si.stageId))
+          } else jobs.incrementAndGet()
+        }
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo
+          if (sentinelStages.contains(si.stageId)) return
           val wall = (for (s <- si.submissionTime; c <- si.completionTime)
             yield c - s).getOrElse(-1L)
           val m = si.taskMetrics
@@ -561,7 +573,9 @@ object Harness {
       val t0 = System.nanoTime()
       noop(fn(spark, dir))
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // let the listener bus drain
+      // deterministic drain (not a sleep): every measured-pass event is
+      // delivered before the listener detaches, whatever the bus backlog
+      BusDrain.drain(spark)
       spark.sparkContext.removeSparkListener(listener)
       if (banded) spark.conf.set("graft.sim.exact", "true")
       println(f"PROFILE $name wall=$wall%.3fs jobs=${jobs.get}")
