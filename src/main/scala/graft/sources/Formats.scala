@@ -175,7 +175,12 @@ object Formats extends QueryPack {
   def partitionedDemux(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = scratch("demux_docs")
-    Tables.documents(spark, dir)
+    // project to the read-back's columns before the demux write (round 21,
+    // guide §2.3/§6): the witness is the per-key side-output LAYOUT
+    // (MultipleOutputs parity), not the payload — carrying `text` through
+    // the write cost ~1 s of the query's 2 s survey wall for bytes the
+    // aggregation never reads
+    Tables.documents(spark, dir).select($"doc_id", $"n_chars", $"lang")
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(path)
     spark.read.parquet(path)
       .groupBy($"lang")
@@ -310,9 +315,15 @@ object Formats extends QueryPack {
       val p = new org.apache.hadoop.fs.Path(s"$warehouse/$t")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    Tables.orders(spark, dir).write
+    // project to the joined/aggregated columns BEFORE the bucketed write
+    // (round 21, guide §2.3 "project before the exchange" applied to the
+    // write): the witness is the bucketed+sorted LAYOUT buying a
+    // shuffle-free join, not full-width tables — writing lineitem's 16
+    // columns where the join reads 2 cost 3.1 s of the query's 4.2 s
+    // survey wall (8-way bucket sort+write per task of ~8× the bytes)
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus").write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("fq_orders")
-    Tables.lineitem(spark, dir).write
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity").write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("fq_lineitem")
     spark.table("fq_orders")
       .join(spark.table("fq_lineitem"), $"o_orderkey" === $"l_orderkey")
