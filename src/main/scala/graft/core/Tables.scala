@@ -44,8 +44,17 @@ object Tables {
       }
       m
     }
-    val schema = perSession.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // infer OUTSIDE the map (ADVICE r21 #1): computeIfAbsent would run the
+    // footer-inference Spark job while holding the bin lock — concurrent
+    // loads hashing to the same bin would serialize behind a Spark job, and
+    // a reentrant load on the same thread would throw. putIfAbsent races
+    // benignly: both racers infer the same schema from the same footer.
+    var schema = perSession.get(path)
+    if (schema == null) {
+      val inferred = spark.read.parquet(path).schema
+      val prev = perSession.putIfAbsent(path, inferred)
+      schema = if (prev == null) inferred else prev
+    }
     spark.read.schema(schema).parquet(path)
   }
 

@@ -789,6 +789,63 @@ object DedupOps extends QueryPack {
     * DETERMINISTICALLY (not left to ContextCleaner GC timing — executor
     * block-store usage stays O(current round), flat in round count).
     */
+  /** One large-star + small-star contraction round over a canonical
+    * (lo < hi, distinct) edge frame — the loop body of [[starComponents]],
+    * exposed so plan tooling can dump a round's physical plan (the loop
+    * runs during query CONSTRUCTION, so the declared query's explain never
+    * shows it).
+    *
+    * Shuffle budget (round 22, guide §2.4): THREE exchanges per round where
+    * the round-21 form paid six (sym groupBy(u), sym⋈lMin on u, large-star
+    * distinct on (lo,hi), ls groupBy(hi), ls⋈sMin on hi, final distinct):
+    *  - large-star: ONE `repartition(u)` serves both the neighborhood-min
+    *    aggregation and the re-link join (both sides arrive hash-partitioned
+    *    on u, so neither plans its own exchange — "two operations keyed the
+    *    same way share one exchange"). The join stays a JOIN (shuffle_hash,
+    *    no sort) rather than a window: large-star groups by u over the
+    *    SYMMETRIC edge set, and a component's min-node neighborhood is the
+    *    whole component — a window would funnel that hot key through one
+    *    task with no recourse, while AQE's skew handling can split a join.
+    *  - small-star: ONE `repartition(hi)` serves the large-star output's
+    *    distinct (hash(hi) co-locates equal (lo,hi) pairs, so the aggregate
+    *    needs no exchange of its own) AND the per-hi min window. Grouping
+    *    here is by the LARGER endpoint, whose neighborhoods stay small
+    *    (star arms group singly), so the window's one-task-per-key shape is
+    *    safe where it wasn't for large-star. The window also replaces the
+    *    join outright: each row emits (m, lo) when lo ≠ m, and the unique
+    *    lo = m row emits (m, hi) — exactly the old join-branch ∪ sMin rows.
+    *  - the closing distinct keys on the NEW (lo, hi), so its exchange is
+    *    semantically required (convergence is an exact set test).
+    * Output is row-identical to the round-21 form (StarComponentsSpec pins
+    * fixpoints and round counts; the per-round edge SET is unchanged, so
+    * round counts cannot drift).
+    */
+  private[graft] def contractionRound(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u}) via the
+    // group min, then each larger neighbor re-links to m. m ≤ u < v, so
+    // the (m, v) output is already lo<hi-canonical and never a self-loop.
+    val sym = edges.select($"lo".as("u"), $"hi".as("v"))
+      .union(edges.select($"hi".as("u"), $"lo".as("v")))
+      .repartition($"u")
+    val lMin = sym.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"u", $"mn").as("m"))
+    val ls = sym.join(lMin.hint("shuffle_hash"), Seq("u")).filter($"v" > $"u")
+      .select($"m".as("lo"), $"v".as("hi"))
+    // small-star on the large-star output: one exchange on the larger
+    // endpoint hi carries the dedup AND the per-hi min; the row with
+    // lo = m is unique per hi after the distinct, so the two output
+    // branches partition the windowed rows exactly
+    val w = Window.partitionBy($"hi")
+    ls.repartition($"hi").distinct()
+      .withColumn("m", min($"lo").over(w))
+      .select(when($"lo" === $"m", struct($"m".as("lo"), $"hi".as("hi")))
+        .otherwise(struct($"m".as("lo"), $"lo".as("hi"))).as("e"))
+      .select($"e.lo".as("lo"), $"e.hi".as("hi"))
+      .distinct()
+  }
+
   private[graft] def starComponents(nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val spark = nodes.sparkSession
     import spark.implicits._
@@ -803,23 +860,7 @@ object DedupOps extends QueryPack {
         throw new IllegalStateException(
           s"connected components: star contraction still changing after $rounds rounds " +
             s"(${nCur} edges) — O(log² n) convergence makes this unreachable; logic bug")
-      // large-star: symmetric neighborhoods; m = min(N(u) ∪ {u}) via the
-      // group min, then each larger neighbor re-links to m. m ≤ u < v, so
-      // the (m, v) output is already lo<hi-canonical and never a self-loop.
-      val sym = edges.select($"lo".as("u"), $"hi".as("v"))
-        .union(edges.select($"hi".as("u"), $"lo".as("v")))
-      val lMin = sym.groupBy($"u").agg(min($"v").as("mn"))
-        .select($"u", least($"u", $"mn").as("m"))
-      val ls = sym.join(lMin, Seq("u")).filter($"v" > $"u")
-        .select($"m".as("lo"), $"v".as("hi")).distinct()
-      // small-star on the large-star output: group by the larger endpoint
-      // hi; m = min of its smaller neighbors (m < lo ≤ hi rows filtered to
-      // m ≠ lo, so both outputs are lo<hi-canonical)
-      val sMin = ls.groupBy($"hi").agg(min($"lo").as("m"))
-      val next = ls.join(sMin, Seq("hi")).filter($"lo" =!= $"m")
-        .select($"m".as("lo"), $"lo".as("hi"))
-        .union(sMin.select($"m".as("lo"), $"hi"))
-        .distinct().localCheckpoint(false)
+      val next = contractionRound(edges).localCheckpoint(false)
       val nNext = next.count() // one job: compute, persist blocks, count
       converged = nNext == nCur &&
         next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty

@@ -908,6 +908,20 @@ object SimilarityOps extends QueryPack {
         .select($"b.cent_id".as("cell"), $"vec_id", $"embedding", $"b.csim".as("csim"))
         .observe(obs,
           sum((lit(1.0) - $"csim").cast(DecimalType(28, 12))).cast("double").as("inertia"))
+      // refit shape: two-level (cell, pos) → cell aggregation, KEPT after a
+      // measured round-22 rejection of the one-level alternative (VERDICT
+      // r21 item 3). Folding the refit into ONE groupBy(cell) with a
+      // decimal sum + count pair per dimension does remove a shuffle and a
+      // stage per round (profile: jobs 46 → 36) and is bit-identical
+      // (decimal quantization is order-independent) — but 2·dim aggregate
+      // expressions per round made Catalyst re-optimize a 128-expression
+      // tree every Lloyd round and the query got SLOWER end-to-end (warmed
+      // profile walls 5.3 s → 6.0–6.3 s at sf0.1; per-round driver gaps ate
+      // the stage win). Shuffle BYTES are the same either way (the partial
+      // aggregation collapses to k·dim rows per partition before the
+      // exchange), so the one-level form buys nothing at 100 TB that the
+      // map-combine doesn't already — reverted, guide §1.1 ("the fresh
+      // ideal is usually slower; switch back to the empirical loop").
       val refit = assigned
         // mean DIRECTION: each vector contributes x/|v| (spherical k-means).
         // Zero-norm embeddings (failed encoders) have no direction and are

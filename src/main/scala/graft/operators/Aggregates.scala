@@ -253,14 +253,26 @@ object Aggregates extends QueryPack {
     */
   def percentilesSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE sketch queried at four ranks, not four per-rank sketches (round
+    // 22, guide §1.2 per-task work): the four separate percentile_approx
+    // calls each built their OWN Greenwald-Khanna summary over the same
+    // column — 4× the per-row insertion CPU and 4× the serialized partial
+    // state crossing the exchange — for answers the ONE sketch already
+    // holds (profile: the map-side partial stage was 1.46 s of the query's
+    // 1.8 s wall; 4→1 sketches cuts it ~4×). Values are identical by
+    // construction: percentile_approx(col, array(...), acc) feeds the same
+    // inserts into the same summary and runs the same per-rank query as
+    // the scalar form, so each element equals the corresponding scalar
+    // call's result bit-for-bit.
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        expr("percentile_approx(l_quantity, 0.25, 1000000)").as("p25"),
-        expr("percentile_approx(l_quantity, 0.5, 1000000)").as("p50"),
-        expr("percentile_approx(l_quantity, 0.75, 1000000)").as("p75"),
-        expr("percentile_approx(l_quantity, 0.95, 1000000)").as("p95"),
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75, 0.95), 1000000)").as("ps"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        element_at($"ps", 1).as("p25"), element_at($"ps", 2).as("p50"),
+        element_at($"ps", 3).as("p75"), element_at($"ps", 4).as("p95"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 

@@ -27,7 +27,11 @@ object EventStreams {
     * can never disagree.
     */
   def fileSource(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // through Tables.load, not a bare spark.read.parquet (round 22): the
+    // bare read ran a footer schema-inference JOB per stream construction —
+    // the one query family the round-21 session schema cache didn't reach.
+    // Same schema either way (load's cache holds the inferred StructType).
+    val batchSchema = graft.core.Tables.load(spark, dir, "events").schema
     spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
       // the file source wants a directory; select just the events file
@@ -276,14 +280,42 @@ object EventStreams {
   /** Run a streaming query to completion over the (finite) file source and
     * return the materialized result — real incremental execution, memory
     * sink, AvailableNow trigger.
+    *
+    * Checkpoint-file checksums are OFF here by default (round 22, dialable
+    * via `graft.stream.checkpoint.checksum`). Spark 4.1's
+    * ChecksumCheckpointFileManager writes a checksum sidecar per checkpoint
+    * file and every state-store commit BLOCKS on that async write — thread
+    * dumps during the stateful stage showed every task parked in
+    * `ChecksumCancellableFSDataOutputStream.close` → awaitResult, ~35% of
+    * the stage's summed executor time (stream_tumbling's stateful stage:
+    * 29.1 s summed / 0.98 s wall with checksums, 17.9 s / 0.63 s without;
+    * whole-query wall 2.9 → 2.0 s). The sidecars exist to detect file
+    * corruption across restarts of DURABLE checkpoints; these witnesses run
+    * on TEMPORARY checkpoint dirs that are deleted when the query ends, so
+    * the sidecars protect files that never survive the session. Production
+    * posture: on HDFS the filesystem already checksums every block natively
+    * (the sidecar is for object stores / raw local disks) — set the dial to
+    * true where the checkpoint is durable and the store doesn't checksum.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val checksumConf = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prior = spark.conf.getOption(checksumConf)
+    spark.conf.set(checksumConf,
+      spark.conf.get("graft.stream.checkpoint.checksum", "false"))
+    val q = try {
+      val started = streamed.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    } finally prior match {
+      // restore so a caller-set value survives this helper (the same
+      // save/restore discipline as profile-stages' graft.sim.exact)
+      case Some(v) => spark.conf.set(checksumConf, v)
+      case None    => spark.conf.unset(checksumConf)
+    }
     // Dataset analysis is eager, so the resolved memory-sink plan survives
     // dropping the temp view; dropping bounds catalog/driver growth when a
     // timing run re-invokes the same streaming query many times per session

@@ -539,6 +539,10 @@ object Harness {
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
       val banded = graft.Bench.banded.contains(name)
+      // save-and-restore, not reset-to-"true" (ADVICE r21 #4): the dial was
+      // unset before this tool ran, and clobbering it to a literal would
+      // override a profile- or user-supplied default for the session's rest
+      val priorExact = spark.conf.getOption("graft.sim.exact")
       if (banded) spark.conf.set("graft.sim.exact", "false")
       noop(fn(spark, dir)) // warm: codegen/JIT, like Bench's untimed pass
       // flush the warm pass's events BEFORE attaching: the async bus
@@ -577,7 +581,10 @@ object Harness {
       // delivered before the listener detaches, whatever the bus backlog
       BusDrain.drain(spark)
       spark.sparkContext.removeSparkListener(listener)
-      if (banded) spark.conf.set("graft.sim.exact", "true")
+      if (banded) priorExact match {
+        case Some(v) => spark.conf.set("graft.sim.exact", v)
+        case None    => spark.conf.unset("graft.sim.exact")
+      }
       println(f"PROFILE $name wall=$wall%.3fs jobs=${jobs.get}")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sorted.foreach(println)

@@ -42,6 +42,20 @@ object PlanFiles {
       } else (graft.Bench.headline, graft.Bench.banded)
 
     headline.foreach { n => dump(n, n) }
+    if (headline.contains("dedup_connected_components")) {
+      // the star-contraction loop runs during query CONSTRUCTION, so the
+      // declared query's explain shows only the closing labels join — dump
+      // one round's physical plan over the real candidate edge frame too
+      import org.apache.spark.sql.functions._
+      val pairs = graft.functions.DedupOps.ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+      val edges = pairs
+        .select(least(col("d1"), col("d2")).as("lo"), greatest(col("d1"), col("d2")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+      val plan = graft.functions.DedupOps.contractionRound(edges)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(outDir.resolve(s"dedup_connected_components_round_$suffix.txt"), plan)
+      println(s"WROTE $outDir/dedup_connected_components_round_$suffix.txt")
+    }
     if (headline.contains("dedup_minhash_lsh")) {
       val plan = graft.functions.DedupOps.minhashCandidatesPlan(spark, dir)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

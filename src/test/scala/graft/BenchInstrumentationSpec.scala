@@ -117,7 +117,8 @@ class BenchInstrumentationSpec extends SparkSpec {
     val bq = (1 to 4).map(i => "\"banded_query_name_wd_" + "%02d".format(i) + "\":1.234567890123456")
       .mkString("{", ",", "}")
     Bench.headlineJson(12.345678901234567, qs, bq,
-      0.3836, 0.1731, 32, 0.1924, 0.0777, "/root/testdata/sf0.1")
+      0.3836, 0.1731, 32, 0.1924, 0.0777, "/root/testdata/sf0.1",
+      "32", "local[32]")
   }
 
   test("headlineJson parses as JSON with every headline key and no payload keys") {
@@ -135,6 +136,11 @@ class BenchInstrumentationSpec extends SparkSpec {
       assert(node.get(k).asDouble > 0.0, k)
     assert(node.get("calib_mt_threads").asInt === 32)
     assert(node.get("sf").asText === "/root/testdata/sf0.1")
+    // round 22 (VERDICT r21 item 1): the record must prove which core dial
+    // and master the run actually used — the driver's scaling block flagged
+    // suspect_cpus_ignored precisely because the emitted JSON couldn't
+    assert(node.get("cpus").asText === "32")
+    assert(node.get("master").asText === "local[32]")
     // nothing sample- or fixture-shaped may ride the compact line — those
     // payloads are exactly what outgrew the capture window
     for (k <- Seq("samples", "banded_samples", "fixtures"))
@@ -149,7 +155,7 @@ class BenchInstrumentationSpec extends SparkSpec {
 
   test("headlineJson escapes a hostile sf path instead of corrupting the line") {
     val line = Bench.headlineJson(1.0, "{}", "{}", 0.1, 0.1, 4, 0.1, 0.1,
-      "/tmp/we\"ird\\dir\tx")
+      "/tmp/we\"ird\\dir\tx", "8", "local[8]")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(node.get("sf").asText === "/tmp/we\"ird\\dir\tx")
   }
