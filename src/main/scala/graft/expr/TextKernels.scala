@@ -1,0 +1,178 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen kernels for the per-document text statistics that were
+  * previously composed from interpreted higher-order functions (round 22,
+  * guide §4 "expressions and codegen" / VERDICT r21 item 4).
+  *
+  * The composed forms — `transform(sequence(...), i => concat_ws(" ",
+  * slice(toks, i, 2)))` for bigrams, `aggregate(array_sort(toks), ...)` for
+  * the top-word run — are Catalyst higher-order functions: they run
+  * INTERPRETED (CodegenFallback) with a per-element lambda dispatch, and
+  * the run-length fold additionally pays an `array_sort` per document.
+  * That per-row cost is paid at ANY scale; the round-21 scan fan-out only
+  * spread it across local cores. These kernels compute the identical
+  * values in one pass over the token array from inside whole-stage codegen.
+  *
+  * BIT-COMPATIBILITY CONTRACTS (TextKernelsSpec asserts kernel ≡ composed
+  * on the fixtures and on adversarial token arrays):
+  *
+  * `word_bigrams(toks)` ≡ `filter(transform(sequence(1, greatest(size-1,
+  * 1)), i => concat_ws(" ", slice(toks, i, 2))), b => size(split(b, " "))
+  * === 2)`:
+  *  - candidate i (1-based, 1..max(size-1, 1)) joins the elements at
+  *    0-based positions i-1 and i (slice clips past the end);
+  *  - concat_ws SKIPS null elements (a [x, null] window yields just "x");
+  *  - the width filter keeps a candidate iff `split(b, " ")` has exactly
+  *    two fields, i.e. iff the joined string contains exactly ONE 0x20
+  *    byte (in UTF-8 the space byte never occurs inside a multi-byte
+  *    sequence, so a byte scan is exact).
+  *
+  * `rep_stats(toks)` returns the five per-document repetition statistics
+  * as one struct:
+  *  - n_tokens           ≡ size(toks)
+  *  - n_distinct_words   ≡ size(array_distinct(toks))  (null counts once)
+  *  - n_bigrams          ≡ size(word_bigrams(toks))
+  *  - n_distinct_bigrams ≡ size(array_distinct(word_bigrams(toks)))
+  *  - top_word_n         ≡ aggregate(array_sort(toks), (prev="", run=0,
+  *    best=0), run-length step, acc.best): array_sort groups binary-equal
+  *    strings adjacently, so the max run IS the max per-word occurrence
+  *    count, computed here with a count map and no sort. A null element
+  *    never extends a run in the composed fold (null-safe === yields
+  *    null → run resets to 1), so each null contributes exactly a run of
+  *    1 — mirrored by flooring best at 1 when nulls are present. An empty
+  *    array folds to the initial best = 0 on both sides.
+  */
+case class WordBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "word_bigrams"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.bigrams($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RepStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "rep_stats"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = RepStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.repStats($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false)))
+}
+
+object TextKernels {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** The composed form's candidate bigram at 1-based index i, or null when
+    * the width filter drops it: concat_ws-join of the (clipped) 2-element
+    * slice, kept iff it contains exactly one space byte.
+    */
+  private def candidate(arr: ArrayData, i: Int): UTF8String = {
+    val n = arr.numElements()
+    val aIdx = i - 1
+    // slice(toks, i, 2) clips at the end; element nulls are skipped by
+    // concat_ws, so collect the non-null parts of the window
+    var a: UTF8String = null
+    var b: UTF8String = null
+    if (aIdx < n && !arr.isNullAt(aIdx)) a = arr.getUTF8String(aIdx)
+    if (aIdx + 1 < n && !arr.isNullAt(aIdx + 1)) b = arr.getUTF8String(aIdx + 1)
+    val joined =
+      if (a != null && b != null) UTF8String.concat(a, Space, b)
+      else if (a != null) a
+      else if (b != null) b
+      else UTF8String.EMPTY_UTF8
+    // keep iff split(joined, " ") has exactly 2 fields = exactly one 0x20
+    // byte (UTF-8: the space byte never occurs inside a multi-byte char)
+    var spaces = 0
+    var p = 0
+    val bytes = joined.numBytes()
+    while (p < bytes && spaces < 2) {
+      if (joined.getByte(p) == 0x20) spaces += 1
+      p += 1
+    }
+    if (spaces == 1) joined else null
+  }
+
+  def bigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val iMax = math.max(n - 1, 1)
+    val out = new java.util.ArrayList[UTF8String](math.max(n - 1, 0))
+    var i = 1
+    while (i <= iMax) {
+      val c = candidate(arr, i)
+      if (c != null) out.add(c)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def repStats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    // word counts in one pass: max count == max run over the sorted array
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(n * 2, 8))
+    var hasNullElem = false
+    var top = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) hasNullElem = true
+      else {
+        val w = arr.getUTF8String(i)
+        val c = counts.merge(w, 1, (x, y) => x + y)
+        if (c > top) top = c
+      }
+      i += 1
+    }
+    if (hasNullElem && top < 1) top = 1 // composed fold: a null is a run of 1
+    val nDistinctWords = counts.size() + (if (hasNullElem) 1 else 0)
+    // bigram count + distinct in the same candidate sweep
+    val seen = new java.util.HashSet[UTF8String](math.max(n * 2, 8))
+    var nBigrams = 0L
+    val iMax = math.max(n - 1, 1)
+    var j = 1
+    while (j <= iMax) {
+      val c = candidate(arr, j)
+      if (c != null) { nBigrams += 1; seen.add(c) }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](
+      n.toLong, nDistinctWords.toLong, nBigrams, seen.size().toLong, top.toLong))
+  }
+}

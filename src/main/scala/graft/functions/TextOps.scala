@@ -29,9 +29,19 @@ object TextOps extends QueryPack {
   private def normTextC: Column = DedupOps.normText
 
   /** Non-empty lowercase tokens. */
-  private def cleanToks: Column = filter(tokens(lower(col("text"))), t => t =!= "")
+  // array_remove, not filter(_ =!= ""): identical output on split() tokens
+  // (split never yields nulls; both drop exactly the "" elements) but
+  // array_remove participates in codegen where the filter lambda is a
+  // CodegenFallback that kicks the WHOLE enclosing project out of
+  // whole-stage codegen (round 22 — found by TextKernelsSpec's codegen pin)
+  private def cleanToks: Column = array_remove(tokens(lower(col("text"))), "")
 
-  /** Word bigrams of a token array (only full-width ones).
+  /** Word bigrams of a token array (only full-width ones) — COMPOSED
+    * REFERENCE FORM. The deployed path is the `word_bigrams` native kernel
+    * ([[graft.expr.WordBigrams]]), bit-equal by TextKernelsSpec, which
+    * holds this definition as the semantics; these HOFs evaluate
+    * interpreted (CodegenFallback), which is why production callers use
+    * the kernel.
     *
     * QUADRATIC-EVAL HAZARD (round 12, found by the decontam stress corpus):
     * `toks` is referenced INSIDE the index-transform lambda, and
@@ -46,15 +56,18 @@ object TextOps extends QueryPack {
     * file and for [[graft.functions.DedupOps.shingledOf]] (already bound).
     * HofBindingSpec pins all callers.
     */
-  private def bigramsOf(toks: Column): Column = filter(
+  private[graft] def bigramsOf(toks: Column): Column = filter(
     transform(
       sequence(lit(1), greatest(size(toks) - lit(1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(2)))),
     b => size(split(b, " ")) === 2)
 
   /** Max per-word count as a run-length fold over the SORTED token array —
-    * narrow and codegen'd, no (doc, word) shuffle. */
-  private def topRunOf(toks: Column): Column = aggregate(
+    * narrow, no (doc, word) shuffle. COMPOSED REFERENCE FORM for the
+    * `rep_stats` kernel's top_word_n (TextKernelsSpec pins equality);
+    * production callers use the kernel because `aggregate`/`array_sort`
+    * HOFs evaluate interpreted per row. */
+  private[graft] def topRunOf(toks: Column): Column = aggregate(
     array_sort(toks),
     struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
     (acc, x) => {
@@ -67,21 +80,23 @@ object TextOps extends QueryPack {
 
   /** The [[qualityScore]] keep verdict as a single boolean column. */
   private def qualityKeepC: Column = {
-    val toks = filter(tokens(col("text")), t => t =!= "")
+    val toks = array_remove(tokens(col("text")), "")
     val nTokens = size(toks)
     val meanLen = (col("n_chars") - (nTokens - lit(1))).cast("double") / nTokens
     val stopRatio = size(filter(toks, t => t.isin(stopEn: _*))).cast("double") / nTokens
     (nTokens >= 10) && (stopRatio >= 0.01) && (meanLen <= 12.0)
   }
 
-  /** The [[repetitionStats]] keep verdict as a single boolean column.
-    * `toks` MUST be a bound token-array column, not a composite expression
-    * (bigramsOf's quadratic-eval hazard). */
+  /** The [[repetitionStats]] keep verdict as a single boolean column, via
+    * the one-pass `rep_stats` kernel (round 22 — the composed
+    * `topRunOf`/`bigramsOf` HOFs ran interpreted per row; the kernel is
+    * bit-equal by TextKernelsSpec and runs inside whole-stage codegen).
+    * Callers must have registered [[graft.plans.GraftFunctions]]. */
   private def repetitionKeepC(toks: Column): Column = {
-    val big = bigramsOf(toks)
-    val topFrac = round(topRunOf(toks).cast("double") / size(toks), 6)
-    val dupBigramFrac = round(lit(1.0) - size(array_distinct(big)).cast("double") /
-      greatest(size(big).cast("long"), lit(1L)), 6)
+    val rs = call_function("rep_stats", toks)
+    val topFrac = round(rs.getField("top_word_n").cast("double") / size(toks), 6)
+    val dupBigramFrac = round(lit(1.0) - rs.getField("n_distinct_bigrams").cast("double") /
+      greatest(rs.getField("n_bigrams"), lit(1L)), 6)
     topFrac <= 0.2 && dupBigramFrac <= 0.5
   }
 
@@ -112,7 +127,7 @@ object TextOps extends QueryPack {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
-        size(filter(tokens($"text"), t => t =!= "")).as("n_ws_tokens"),
+        size(array_remove(tokens($"text"), "")).as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
       .orderBy($"doc_id")
   }
@@ -125,7 +140,7 @@ object TextOps extends QueryPack {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(tokens($"text"), t => t =!= "")
+    val toks = array_remove(tokens($"text"), "")
     Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars",
         size(toks).as("n_tokens"),
@@ -156,7 +171,7 @@ object TextOps extends QueryPack {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(tokens($"text"), t => t =!= "")
+    val toks = array_remove(tokens($"text"), "")
     val scoreCols = Seq(
       $"doc_id", $"lang".as("labeled_lang"),
       size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("s_zh")) ++
@@ -212,9 +227,12 @@ object TextOps extends QueryPack {
     // bind the token array before the bigram lambda (quadratic-eval
     // hazard — see bigramsOf, whose width filter replaces the old
     // post-explode split-width check)
+    graft.plans.GraftFunctions.register(spark)
     val counts = Tables.documents(spark, dir)
-      .select($"lang", filter(tokens(lower($"text")), t => t =!= "").as("toks"))
-      .select($"lang", explode(bigramsOf($"toks")).as("bigram"))
+      .select($"lang", array_remove(tokens(lower($"text")), "").as("toks"))
+      // word_bigrams kernel ≡ the interpreted bigramsOf transform
+      // (TextKernelsSpec), inside whole-stage codegen
+      .select($"lang", explode(call_function("word_bigrams", $"toks")).as("bigram"))
       .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
     // bounded heap per lang: at corpus scale the per-language vocabulary is
     // unbounded — a window rank would shuffle and sort the whole vocabulary
@@ -337,9 +355,17 @@ object TextOps extends QueryPack {
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
+    graft.plans.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val toksDf = docs.select($"doc_id", cleanToks.as("toks")).localCheckpoint()
-    val docBigrams = toksDf.select($"doc_id", explode(bigramsOf($"toks")).as("bigram"))
+    // word_bigrams kernel, not the interpreted bigramsOf transform (round
+    // 22, guide §4): the bigram stream is derived TWICE from the
+    // checkpointed tokens (model counts + doc scoring), so the per-row
+    // interpreted lambda cost was paid on both subtrees — profile: the two
+    // stages deriving it were 0.72 s + 0.43 s of this query's 1.6 s wall.
+    // Bit-equal by the kernel contract (TextKernelsSpec).
+    val docBigrams = toksDf.select($"doc_id",
+      explode(call_function("word_bigrams", $"toks")).as("bigram"))
     val bg = docBigrams.groupBy($"bigram").agg(count(lit(1)).as("c2"))
     val uni = toksDf.select(explode($"toks").as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c1"))
@@ -556,10 +582,10 @@ object TextOps extends QueryPack {
   def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(spark) // repetitionKeepC's rep_stats
     val w = Window.partitionBy($"content_sha")
     Tables.documents(spark, dir).filter($"doc_id" >= 5)
-      // bind the token array BEFORE the repetition verdict's index-
-      // transform lambdas (bigramsOf's quadratic-eval hazard)
+      // the bound token array feeds the quality AND repetition verdicts
       .withColumn("toks", cleanToks)
       // empty docs carry no quality/repetition verdicts (0/0 fractions) and
       // the oracle's inner join to the repetition CTE drops them — mirror it
@@ -590,24 +616,33 @@ object TextOps extends QueryPack {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // bind the token array before bigramsOf's index-transform lambda
-    // (quadratic-eval hazard — see bigramsOf)
-    val bigrams = bigramsOf($"toks")
-    // fan out: the interpreted HOF kernels below (array_sort run-length,
-    // bigram array_distinct) measured ~1.9 s fused into ONE scan task at
-    // sf0.1 (graft.core.Fanout scaladoc; guide §2.5)
-    graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
+    graft.plans.GraftFunctions.register(spark)
+    // all five statistics from ONE pass over the token array via the
+    // `rep_stats` kernel (round 22, guide §4): the composed form paid an
+    // interpreted index-transform per bigram, two array_distincts, an
+    // array_sort and an interpreted run-length fold per document —
+    // per-row CPU at any scale (the round-21 fan-out only spread it over
+    // local cores). Bit-equal by the kernel contract (TextKernelsSpec);
+    // subexpression elimination evaluates the struct once per row.
+    // Measured (fan-out OFF, single scan task, warmed profile, sf0.1):
+    // HOF form 1.59–1.91 s → kernel 0.71–0.76 s. The round-21 fan-out is
+    // REMOVED here: with the interpreted kernels gone it measured
+    // flat-to-worse (ON 0.79–0.84 vs OFF 0.66–0.76 s — the added exchange
+    // now costs more than the remaining fused compute), and dropping it
+    // deletes a corpus exchange the gate no longer needs at any scale.
+    Tables.documents(spark, dir)
       .withColumn("toks", cleanToks)
       // zero-token docs have no repetition fractions (0/0) and no rows in
       // the oracle's token-stream CTEs — drop them on BOTH sides
       .filter(size($"toks") >= 1)
+      .withColumn("rs", call_function("rep_stats", $"toks"))
       .select($"doc_id",
-        size($"toks").cast("long").as("n_tokens"),
-        size(array_distinct($"toks")).cast("long").as("n_distinct_words"),
-        size(bigrams).cast("long").as("n_bigrams"),
-        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
-        // max run length over the sorted tokens == max per-word count
-        topRunOf($"toks").as("top_word_n"))
+        $"rs.n_tokens".as("n_tokens"),
+        $"rs.n_distinct_words".as("n_distinct_words"),
+        $"rs.n_bigrams".as("n_bigrams"),
+        $"rs.n_distinct_bigrams".as("n_distinct_bigrams"),
+        // max per-word count == max run length over the sorted tokens
+        $"rs.top_word_n".as("top_word_n"))
       .withColumn("dup_word_frac",
         round(lit(1.0) - $"n_distinct_words".cast("double") / $"n_tokens", 6))
       .withColumn("top_word_frac",
@@ -644,7 +679,7 @@ object TextOps extends QueryPack {
     val budget = 512L
     val base = Tables.documents(spark, dir)
       .select($"doc_id",
-        size(filter(tokens($"text"), t => t =!= "")).cast("long").as("n_tokens"))
+        size(array_remove(tokens($"text"), "")).cast("long").as("n_tokens"))
       .repartitionByRange($"doc_id")
       .sortWithinPartitions($"doc_id")
       .rdd

@@ -149,6 +149,18 @@ object GraftFunctions {
         }
         graft.expr.BloomProbe(bytes, args(1))
       }),
+    (FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[graft.expr.WordBigrams].getName, "word_bigrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "word_bigrams takes (token_array)")
+        graft.expr.WordBigrams(args.head)
+      }),
+    (FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[graft.expr.RepStats].getName, "rep_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rep_stats takes (token_array)")
+        graft.expr.RepStats(args.head)
+      }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
       (args: Seq[Expression]) => {

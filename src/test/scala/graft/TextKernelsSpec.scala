@@ -1,0 +1,98 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bit-compatibility of the round-22 native text kernels with the composed
+  * higher-order-function reference forms they replace on the deployed
+  * paths (text_repetition_stats, text_corpus_select, text_bigram_lm_score,
+  * text_ngram_freq):
+  *
+  *  - `word_bigrams(toks)` ≡ TextOps.bigramsOf (index-transform +
+  *    concat_ws slice join + split-width filter);
+  *  - `rep_stats(toks)` ≡ the five composed statistics, incl.
+  *    top_word_n ≡ TextOps.topRunOf (run-length fold over array_sort).
+  *
+  * Equality here is what keeps every oracle hash unchanged when a call
+  * site switches from the interpreted HOFs to the kernels.
+  */
+class TextKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  /** Composed five-stat frame vs kernel five-stat frame over (id, toks). */
+  private def assertEqualStats(toksDf: DataFrame): Unit = {
+    val big = graft.functions.TextOps.bigramsOf($"toks")
+    val composed = toksDf.select($"id",
+      size($"toks").cast("long").as("n_tokens"),
+      size(array_distinct($"toks")).cast("long").as("n_distinct_words"),
+      size(big).cast("long").as("n_bigrams"),
+      size(array_distinct(big)).cast("long").as("n_distinct_bigrams"),
+      graft.functions.TextOps.topRunOf($"toks").as("top_word_n"))
+      .orderBy($"id").collect()
+    val kernel = toksDf
+      .withColumn("rs", call_function("rep_stats", $"toks"))
+      .select($"id", $"rs.n_tokens", $"rs.n_distinct_words",
+        $"rs.n_bigrams", $"rs.n_distinct_bigrams", $"rs.top_word_n")
+      .orderBy($"id").collect()
+    assert(composed.length == kernel.length)
+    composed.zip(kernel).foreach { case (c, k) =>
+      assert(c === k, s"rep_stats mismatch for id ${c.get(0)}: composed $c kernel $k")
+    }
+    val composedBig = toksDf.select($"id", big.as("b")).orderBy($"id").collect()
+    val kernelBig = toksDf.select($"id",
+      call_function("word_bigrams", $"toks").as("b")).orderBy($"id").collect()
+    composedBig.zip(kernelBig).foreach { case (c, k) =>
+      assert(c.getSeq[String](1) === k.getSeq[String](1),
+        s"word_bigrams mismatch for id ${c.get(0)}")
+    }
+  }
+
+  test("kernels equal the composed HOFs on the documents fixture tokens") {
+    val toksDf = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("id"),
+        filter(split(lower($"text"), "\\s+"), t => t =!= "").as("toks"))
+    assertEqualStats(toksDf)
+  }
+
+  test("kernels equal the composed HOFs on adversarial token arrays") {
+    // shapes the tokenizers never produce but the expressions must agree
+    // on anyway: empties, single tokens, nulls, tokens CONTAINING spaces
+    // (the composed width filter keeps a 1-window "bigram" iff the token
+    // holds exactly one space — the kernel must reproduce that, not guess)
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("one")),
+      (3L, Seq("a", "b", "a", "a", "b")),
+      (4L, Seq("x", "x", "x", "x")),
+      (5L, Seq("", "a", "", "b")),           // empty-string tokens
+      (6L, Seq("a b", "c")),                 // space inside a token
+      (7L, Seq("two  spaces", "t")),         // two spaces inside a token
+      (8L, Seq(null, "a", null, null)),      // null elements
+      (9L, Seq("é", "漢字", "é", "é")),      // multi-byte UTF-8
+      (10L, Seq("a", null)),
+      (11L, Seq("solo space")) // one token holding exactly one space
+    )
+    val toksDf = rows.toDF("id", "toks")
+    assertEqualStats(toksDf)
+  }
+
+  test("kernels run inside whole-stage codegen (no CodegenFallback in the scan stage)") {
+    // the production tokenizer shape: array_remove, NOT filter(_ =!= "") —
+    // a lambda HOF is CodegenFallback and kicks the whole project out of
+    // whole-stage codegen, kernel or no kernel (this pin found that)
+    val df = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        call_function("rep_stats",
+          array_remove(split(lower($"text"), "\\s+"), "")).as("rs"))
+    val plan = planOf(df)
+    // executedPlan.toString marks whole-stage-codegen membership with the
+    // `*(n)` prefix on each fused operator
+    val projLine = plan.linesIterator.find(_.contains("rep_stats"))
+      .getOrElse(fail(s"no rep_stats project in:\n$plan"))
+    assert(projLine.trim.startsWith("*("),
+      s"rep_stats project is outside whole-stage codegen:\n$plan")
+  }
+}
