@@ -97,6 +97,92 @@ object RepStats {
     StructField("top_word_n", LongType, nullable = false)))
 }
 
+/** count_in(toks, set) ≡ size(filter(toks, t => t.isin(set: _*))) for a
+  * QUERY-CONSTANT string set: occurrences (not distinct membership) of
+  * set elements, binary string equality, null elements never match (isin
+  * on null is null, which the composed filter drops). The set rides as a
+  * constructor field (resolved from a foldable array literal by the
+  * registry builder) so the probe is one hash lookup per token inside
+  * whole-stage codegen instead of an interpreted lambda with a linear
+  * In-list per element.
+  */
+case class CountIn(child: Expression, set: Seq[UTF8String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "count_in"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countIn(input.asInstanceOf[ArrayData], lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("countInSet", lookup,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.countIn($x, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** count_longer(toks, n) ≡ size(filter(toks, t => length(t) > n)):
+  * occurrences of tokens longer than n CHARACTERS (codepoints, matching
+  * `length`), null elements never match.
+  */
+case class CountLonger(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "count_longer"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countLonger(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.countLonger($x, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** word_shingles(toks) ≡ transform(sequence(1, greatest(size(toks) - 2,
+  * 1)), i => concat_ws(" ", slice(toks, i, 3))) — the 3-token shingle
+  * array of [[graft.functions.DedupOps.shingledOf]], WITHOUT any width
+  * filter (short documents emit their single short shingle exactly like
+  * the composed form; concat_ws skips null elements; slice clips at the
+  * array end).
+  */
+case class WordShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "word_shingles"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.shingles($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   private val Space = UTF8String.fromString(" ")
@@ -142,6 +228,55 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def countLonger(arr: ArrayData, longerThan: Int): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).numChars() > longerThan) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** 3-token shingle at 1-based index i: concat_ws-join of the clipped
+    * 3-element slice — never filtered (unlike [[candidate]]'s bigrams). */
+  private def shingleAt(arr: ArrayData, i: Int): UTF8String = {
+    val n = arr.numElements()
+    val parts = new java.util.ArrayList[UTF8String](3)
+    var k = i - 1
+    val end = math.min(i + 2, n)
+    while (k < end) {
+      if (!arr.isNullAt(k)) parts.add(arr.getUTF8String(k))
+      k += 1
+    }
+    if (parts.isEmpty) UTF8String.EMPTY_UTF8
+    else UTF8String.concatWs(Space, parts.toArray(new Array[UTF8String](parts.size())): _*)
+  }
+
+  def shingles(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val iMax = math.max(n - 2, 1)
+    val out = new Array[UTF8String](iMax)
+    var i = 1
+    while (i <= iMax) {
+      out(i - 1) = shingleAt(arr, i)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
   def repStats(arr: ArrayData): InternalRow = {

@@ -55,8 +55,23 @@ object DedupOps extends QueryPack {
         sequence(lit(1), greatest(size(col("toks")) - lit(2), lit(1))),
         i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingle"))
 
+  /** [[shingledOf]] through the `word_shingles` native kernel (round 22,
+    * guide §4): the composed index-transform evaluates interpreted per
+    * shingle; the kernel emits the identical array in one codegen pass
+    * (TextKernelsSpec pins equality). [[shingledOf]] stays the composed
+    * reference — MinhashSigSpec builds the minhash reference signatures
+    * from it so the kernel contracts remain independent.
+    */
+  private[graft] def shingledKernelOf(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(normText, " ").as("toks"))
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("toks"))).as("shingle"))
+  }
+
   private def shingledRaw(spark: SparkSession, dir: String): DataFrame =
-    shingledOf(Tables.documents(spark, dir))
+    shingledKernelOf(Tables.documents(spark, dir))
 
   /** doc_id → distinct 3-token shingles (exploded). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -241,13 +256,21 @@ object DedupOps extends QueryPack {
     * shuffle on this path is the (band,bucket) groupBy below.
     */
   private def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
-    // eager localCheckpoint instead of CacheManager .cache(): the pair set
-    // is reused by several downstream subtrees in one job, but a
-    // CacheManager entry is pinned until an explicit unpersist — repeated
-    // invocations in a long session would accumulate storage. The
-    // checkpoint's backing blocks are released by the ContextCleaner as
-    // soon as the returned plan is unreferenced.
-    minhashCandidatesPlan(spark, dir).localCheckpoint(true)
+    // localCheckpoint instead of CacheManager .cache(): the pair set is
+    // reused by several downstream subtrees, but a CacheManager entry is
+    // pinned until an explicit unpersist — repeated invocations in a long
+    // session would accumulate storage. The checkpoint's backing blocks
+    // are released by the ContextCleaner as soon as the returned plan is
+    // unreferenced. LAZY since round 22 (was eager): the dedicated
+    // construction-time materialization job sat inside the bench's timed
+    // region; letting the first consumer materialize it drops one job per
+    // pass with NO double-compute of the scan+signature subtree (profiled:
+    // the band-stream map stage runs once per pass either way — the first
+    // consumer is jaccardStats' candDocs broadcast build, which completes
+    // before the pair joins submit). A/B min-of-3 at sf0.1: eager
+    // 1.40/1.16 s vs lazy 1.25/1.03 s, jobs 14 → 12 (with the shN
+    // checkpoint below going lazy in the same change).
+    minhashCandidatesPlan(spark, dir).localCheckpoint(false)
 
   /** The candidate-generation subtree WITHOUT the closing checkpoint
     * boundary — [[minhashCandidates]] minus its `localCheckpoint`, exposed
@@ -546,8 +569,12 @@ object DedupOps extends QueryPack {
       .distinct()
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       // candidate-slice only; localCheckpoint over .cache() for the same
-      // ContextCleaner-managed lifetime as minhashCandidates above
-      .localCheckpoint(true)
+      // ContextCleaner-managed lifetime as minhashCandidates above. LAZY
+      // since round 22 (was eager), same reasoning and A/B as there: the
+      // first join leg materializes the slice, the second reads the
+      // persisted blocks — one construction job less per pass, slice
+      // subtree still computed exactly once (profiled).
+      .localCheckpoint(false)
     // NO broadcast hint on the candidate PAIR set (round 11): it is
     // candidate-proportional, and a forced broadcast of it is the same
     // pathology class as the r10 blob broadcast — measured fatal on a

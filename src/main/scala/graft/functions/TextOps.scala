@@ -78,12 +78,16 @@ object TextOps extends QueryPack {
     },
     acc => acc.getField("best"))
 
-  /** The [[qualityScore]] keep verdict as a single boolean column. */
+  /** The [[qualityScore]] keep verdict as a single boolean column.
+    * Callers must have registered [[graft.plans.GraftFunctions]]. */
   private def qualityKeepC: Column = {
     val toks = array_remove(tokens(col("text")), "")
     val nTokens = size(toks)
     val meanLen = (col("n_chars") - (nTokens - lit(1))).cast("double") / nTokens
-    val stopRatio = size(filter(toks, t => t.isin(stopEn: _*))).cast("double") / nTokens
+    // count_in kernel ≡ size(filter(isin)) (TextKernelsSpec): the isin
+    // lambda was an interpreted CodegenFallback per token
+    val stopRatio = call_function("count_in", toks, typedLit(stopEn))
+      .cast("double") / nTokens
     (nTokens >= 10) && (stopRatio >= 0.01) && (meanLen <= 12.0)
   }
 
@@ -140,12 +144,15 @@ object TextOps extends QueryPack {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val toks = array_remove(tokens($"text"), "")
+    // count_in / count_longer kernels ≡ the composed size(filter(...))
+    // forms (TextKernelsSpec) — the isin/length lambdas ran interpreted
     Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars",
         size(toks).as("n_tokens"),
-        size(filter(toks, t => t.isin(stopEn: _*))).as("n_stopwords"),
-        size(filter(toks, t => length(t) > 8)).as("n_long_tokens"))
+        call_function("count_in", toks, typedLit(stopEn)).as("n_stopwords"),
+        call_function("count_longer", toks, lit(8)).as("n_long_tokens"))
       // zero-token docs: ratios are explicitly NULL on BOTH sides (Spark's
       // div-by-zero null vs DuckDB's IEEE inf/nan would otherwise diverge);
       // keep stays false either way (n_tokens >= 10 short-circuits)
@@ -171,17 +178,22 @@ object TextOps extends QueryPack {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val toks = array_remove(tokens($"text"), "")
+    // count_in kernel per profile ≡ size(filter(isin)) (TextKernelsSpec):
+    // five interpreted stopword lambdas per doc become five hash probes
+    // per token inside whole-stage codegen
     val scoreCols = Seq(
       $"doc_id", $"lang".as("labeled_lang"),
       size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("s_zh")) ++
       langStops.toSeq.sortBy(_._1).map { case (l, ws) =>
-        size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+        call_function("count_in", toks, typedLit(ws)).as(s"s_$l")
       }
-    // fan out: five stopword-profile filters per doc measured ~0.9 s in
-    // ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5)
-    val scored = graft.core.Fanout.maybeFanout(
-      Tables.documents(spark, dir), $"doc_id").select(scoreCols: _*)
+    // the round-21 scan fan-out is REMOVED (round 22): it existed for the
+    // five interpreted stopword lambdas (~0.9 s fused); with the count_in
+    // kernel the fused compute no longer fills the exchange it cost —
+    // A/B: fan-out ON 0.68/0.78 s vs OFF 0.56/0.68 s warmed profile
+    val scored = Tables.documents(spark, dir).select(scoreCols: _*)
     scored.withColumn("pred_lang",
       when($"s_zh" > 0, lit("zh"))
         .when(greatest($"s_de", $"s_en", $"s_es", $"s_fr") === lit(0), lit("und"))
@@ -512,9 +524,9 @@ object TextOps extends QueryPack {
     // linear form (see bigramsOf's quadratic-eval hazard note; this site
     // cost O(tokens²) per doc until round 12, invisible at gate doc sizes,
     // 13 min for five 50k-token eval docs on the decontam stress corpus)
-    val evalGrams = DedupOps.shingledOf(docs.filter($"doc_id" < 5))
+    val evalGrams = DedupOps.shingledKernelOf(docs.filter($"doc_id" < 5))
       .select($"shingle").distinct()
-    val corpus = DedupOps.shingledOf(docs.filter($"doc_id" >= 5))
+    val corpus = DedupOps.shingledKernelOf(docs.filter($"doc_id" >= 5))
     val matched =
       if (!decontamBloom(spark)) corpus.join(broadcast(evalGrams), Seq("shingle"))
       else {

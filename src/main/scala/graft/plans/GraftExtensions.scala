@@ -161,6 +161,35 @@ object GraftFunctions {
         require(args.length == 1, "rep_stats takes (token_array)")
         graft.expr.RepStats(args.head)
       }),
+    (FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[graft.expr.CountIn].getName, "count_in"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "count_in takes (token_array, set-literal)")
+        // the set is a query constant (stopword profiles), never data —
+        // accept any FOLDABLE string-array expression and fold it here
+        require(args(1).foldable,
+          s"count_in: set must be a foldable array literal, got ${args(1)}")
+        val arr = args(1).eval(null).asInstanceOf[ArrayData]
+        val set = (0 until arr.numElements()).map(arr.getUTF8String)
+        graft.expr.CountIn(args.head, set)
+      }),
+    (FunctionIdentifier("count_longer"),
+      new ExpressionInfo(classOf[graft.expr.CountLonger].getName, "count_longer"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "count_longer takes (token_array, n-literal)")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"count_longer: n must be an integer literal, got $other")
+        }
+        graft.expr.CountLonger(args.head, n)
+      }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.expr.WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "word_shingles takes (token_array)")
+        graft.expr.WordShingles(args.head)
+      }),
     (FunctionIdentifier("arg_max_long"),
       new ExpressionInfo(classOf[ArgMaxLong].getName, "arg_max_long"),
       (args: Seq[Expression]) => {

@@ -79,6 +79,53 @@ class TextKernelsSpec extends SparkSpec {
     assertEqualStats(toksDf)
   }
 
+  /** count_in / count_longer / word_shingles vs their composed forms. */
+  private def assertEqualCounters(toksDf: DataFrame): Unit = {
+    val stops = Seq("the", "a", "of", "and")
+    val composed = toksDf.select($"id",
+      size(filter($"toks", t => t.isin(stops: _*))).as("n_stop"),
+      size(filter($"toks", t => length(t) > 3)).as("n_long"))
+      .orderBy($"id").collect()
+    val kernel = toksDf.select($"id",
+      call_function("count_in", $"toks", typedLit(stops)).as("n_stop"),
+      call_function("count_longer", $"toks", lit(3)).as("n_long"))
+      .orderBy($"id").collect()
+    composed.zip(kernel).foreach { case (c, k) =>
+      assert(c === k, s"counter mismatch for id ${c.get(0)}: composed $c kernel $k")
+    }
+    // word_shingles ≡ the shingledOf transform (3-token windows, NO width
+    // filter — short arrays emit their single short shingle)
+    val composedSh = toksDf.select($"id", transform(
+      sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
+      i => concat_ws(" ", slice($"toks", i, lit(3)))).as("sh"))
+      .orderBy($"id").collect()
+    val kernelSh = toksDf.select($"id",
+      call_function("word_shingles", $"toks").as("sh")).orderBy($"id").collect()
+    composedSh.zip(kernelSh).foreach { case (c, k) =>
+      assert(c.getSeq[String](1) === k.getSeq[String](1),
+        s"word_shingles mismatch for id ${c.get(0)}")
+    }
+  }
+
+  test("counter/shingle kernels equal the composed forms on fixture tokens") {
+    val toksDf = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("id"),
+        array_remove(split(lower($"text"), "\\s+"), "").as("toks"))
+    assertEqualCounters(toksDf)
+  }
+
+  test("counter/shingle kernels equal the composed forms on adversarial arrays") {
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("one")),
+      (3L, Seq("the", "a", "the", "xyzzy", "longword")),
+      (4L, Seq("", "the", "")),
+      (5L, Seq(null, "the", null)),
+      (6L, Seq("漢字漢字", "é", "the")), // numChars, not bytes
+      (7L, Seq("a", "b")))
+    assertEqualCounters(rows.toDF("id", "toks"))
+  }
+
   test("kernels run inside whole-stage codegen (no CodegenFallback in the scan stage)") {
     // the production tokenizer shape: array_remove, NOT filter(_ =!= "") —
     // a lambda HOF is CodegenFallback and kicks the whole project out of
