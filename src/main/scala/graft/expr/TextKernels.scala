@@ -157,6 +157,63 @@ case class CountLonger(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** count_cp_range(text, lo, hi) ≡ size(regexp_extract_all(text,
+  * '[\x{lo}-\x{hi}]', 0)): occurrences of codepoints in [lo, hi]. The
+  * regex character class matches single CODEPOINTS (never splitting a
+  * supplementary pair), so a codepoint iteration counts identically —
+  * minus the regex engine, the per-match string extraction and the
+  * result-array materialization that size() immediately throws away.
+  * Iterates the decoded string exactly like the regex path does (the
+  * regexp expressions call toString first), so malformed-UTF-8
+  * replacement behavior matches too.
+  */
+case class CountCpRange(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "count_cp_range"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countCpRange(input.asInstanceOf[UTF8String], lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.countCpRange($x, $lo, $hi);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** min_md5_shingle(toks) ≡ array_min(transform(SHINGLES(toks), s =>
+  * md5(s))) where SHINGLES is the [[WordShingles]]/shingledOf 3-token
+  * window family: the 1-permutation MinHash fingerprint. Equality holds
+  * because md5's lowercase-hex encoding is order-preserving over the
+  * digest bytes (each byte maps to two hex chars monotonically), so the
+  * minimum hex string IS the unsigned-lexicographic minimum digest —
+  * computed here without materializing the shingle array, the per-shingle
+  * hex strings, or the interpreted transform lambdas.
+  */
+case class MinMd5Shingle(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "min_md5_shingle"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minMd5Shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.minMd5Shingle($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** word_shingles(toks) ≡ transform(sequence(1, greatest(size(toks) - 2,
   * 1)), i => concat_ws(" ", slice(toks, i, 3))) — the 3-token shingle
   * array of [[graft.functions.DedupOps.shingledOf]], WITHOUT any width
@@ -277,6 +334,63 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  def countCpRange(s: UTF8String, lo: Int, hi: Int): Int = {
+    // through toString like the regexp path (identical replacement-char
+    // handling on malformed UTF-8), then one codepoint sweep
+    val str = s.toString
+    var i = 0
+    var c = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= lo && cp <= hi) c += 1
+      i += Character.charCount(cp)
+    }
+    c
+  }
+
+  // one MessageDigest per executor thread, reset per shingle (the
+  // getInstance call would otherwise dominate the hash — SimhashSig's rule)
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def minMd5Shingle(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val iMax = math.max(n - 2, 1)
+    val md = md5Local.get()
+    var best: Array[Byte] = null
+    var i = 1
+    while (i <= iMax) {
+      val sh = shingleAt(arr, i)
+      md.reset()
+      md.update(sh.getBytes)
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    // iMax >= 1 always yields a shingle (possibly ""), so best is non-null
+    val hex = new Array[Char](32)
+    var k = 0
+    while (k < 16) {
+      hex(2 * k) = HexChars((best(k) >> 4) & 0xF)
+      hex(2 * k + 1) = HexChars(best(k) & 0xF)
+      k += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xFF
+      val bi = b(i) & 0xFF
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
   }
 
   def repStats(arr: ArrayData): InternalRow = {

@@ -185,7 +185,7 @@ object TextOps extends QueryPack {
     // per token inside whole-stage codegen
     val scoreCols = Seq(
       $"doc_id", $"lang".as("labeled_lang"),
-      size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("s_zh")) ++
+      call_function("count_cp_range", $"text", lit(0x4e00), lit(0x9fff)).as("s_zh")) ++
       langStops.toSeq.sortBy(_._1).map { case (l, ws) =>
         call_function("count_in", toks, typedLit(ws)).as(s"s_$l")
       }
@@ -211,20 +211,21 @@ object TextOps extends QueryPack {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
-    // bind norm + toks before the shingle lambda (quadratic-eval hazard —
-    // see bigramsOf); the md5-per-shingle transform's lambda reads only
-    // its own element, so it was always linear
-    val shingles = transform(
-      sequence(lit(1), greatest(size($"toks") - lit(2), lit(1))),
-      i => concat_ws(" ", slice($"toks", i, lit(3))))
-    // fan out: per-shingle md5 via interpreted transform measured ~1.1 s
-    // fused into ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5)
+    // min_md5_shingle kernel ≡ array_min(transform(shingles, md5))
+    // (TextKernelsSpec): the composed form built the shingle array through
+    // an interpreted transform, md5'd each shingle through the interpreted
+    // HOF eval path, materialized 32-char hex strings per shingle and
+    // scanned them with array_min — the kernel digests each window and
+    // keeps the unsigned-min digest (hex order ≡ digest-byte order)
+    // fan out: per-shingle md5 is still the dominant per-row cost —
+    // re-A/B'd with the kernel live, kept (see OPTIMIZATION_r22.md)
     graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
       .select($"doc_id", norm.as("norm"), tokens(norm).as("toks"))
       .select($"doc_id",
         md5($"norm").as("doc_md5"),
-        array_min(transform(shingles, s => md5(s))).as("shingle_min_md5"))
+        call_function("min_md5_shingle", $"toks").as("shingle_min_md5"))
       .orderBy($"doc_id")
   }
 

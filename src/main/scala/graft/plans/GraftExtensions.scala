@@ -184,6 +184,24 @@ object GraftFunctions {
         }
         graft.expr.CountLonger(args.head, n)
       }),
+    (FunctionIdentifier("count_cp_range"),
+      new ExpressionInfo(classOf[graft.expr.CountCpRange].getName, "count_cp_range"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "count_cp_range takes (text, lo-literal, hi-literal)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"count_cp_range: $what must be an integer literal, got $other")
+        }
+        graft.expr.CountCpRange(args.head,
+          intLit(args(1), "lo"), intLit(args(2), "hi"))
+      }),
+    (FunctionIdentifier("min_md5_shingle"),
+      new ExpressionInfo(classOf[graft.expr.MinMd5Shingle].getName, "min_md5_shingle"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "min_md5_shingle takes (token_array)")
+        graft.expr.MinMd5Shingle(args.head)
+      }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.expr.WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

@@ -126,6 +126,49 @@ class TextKernelsSpec extends SparkSpec {
     assertEqualCounters(rows.toDF("id", "toks"))
   }
 
+  test("count_cp_range equals size(regexp_extract_all) on fixtures and adversarial text") {
+    val fixture = graft.core.Tables.documents(spark, sfDir).select($"doc_id".as("id"), $"text")
+    val adversarial = Seq(
+      (1001L, ""), (1002L, "plain ascii only"),
+      (1003L, "漢字 mixed 中文 text"),          // in-range CJK
+      (1004L, "一鿿䷿ꀀ"),      // range boundaries ± 1
+      (1005L, "emoji 😀 pair"),       // supplementary pair (out of range)
+      (1006L, "é ü ñ")).toDF("id", "text")
+    for (df <- Seq(fixture, adversarial)) {
+      val c = df.select($"id",
+        size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("n"))
+        .orderBy($"id").collect()
+      val k = df.select($"id",
+        call_function("count_cp_range", $"text", lit(0x4e00), lit(0x9fff)).as("n"))
+        .orderBy($"id").collect()
+      c.zip(k).foreach { case (cr, kr) =>
+        assert(cr === kr, s"count_cp_range mismatch for id ${cr.get(0)}")
+      }
+    }
+  }
+
+  test("min_md5_shingle equals array_min(transform(shingles, md5)) on fixtures and edges") {
+    def composed(toks: org.apache.spark.sql.Column) = array_min(transform(
+      transform(sequence(lit(1), greatest(size(toks) - lit(2), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))),
+      s => md5(s)))
+    val fixture = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("id"),
+        split(regexp_replace(trim(lower($"text")), "\\s+", " "), "\\s+").as("toks"))
+    val adversarial = Seq(
+      (1L, Seq.empty[String]), (2L, Seq("one")), (3L, Seq("a", "b")),
+      (4L, Seq("a", "b", "c", "d")), (5L, Seq("", "x", "")),
+      (6L, Seq(null, "a", "b", null)), (7L, Seq("漢", "字", "é"))).toDF("id", "toks")
+    for (df <- Seq(fixture, adversarial)) {
+      val c = df.select($"id", composed($"toks").as("m")).orderBy($"id").collect()
+      val k = df.select($"id",
+        call_function("min_md5_shingle", $"toks").as("m")).orderBy($"id").collect()
+      c.zip(k).foreach { case (cr, kr) =>
+        assert(cr === kr, s"min_md5_shingle mismatch for id ${cr.get(0)}")
+      }
+    }
+  }
+
   test("kernels run inside whole-stage codegen (no CodegenFallback in the scan stage)") {
     // the production tokenizer shape: array_remove, NOT filter(_ =!= "") —
     // a lambda HOF is CodegenFallback and kicks the whole project out of
