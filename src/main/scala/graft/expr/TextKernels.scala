@@ -214,6 +214,37 @@ case class MinMd5Shingle(child: Expression)
     copy(child = newChild)
 }
 
+/** cm_cells(term, depth, width) ≡ the composed count-min bucket family
+  * array((0 until depth).map(r => struct(r, conv(substring(md5(concat(
+  * lit(s"$r:"), term)), 1, 8), 16, 10).cast(long) % width))): row r's
+  * cell is the first 4 md5 digest bytes of "r:term" read as an unsigned
+  * big-endian int, mod width — exactly what the hex substring + conv
+  * base-16 parse compute, minus materializing a 32-char hex string and
+  * re-parsing 8 of its chars per (token × row). The md5 derivation
+  * itself stays (the cells are the DECLARED result — the DuckDB oracle
+  * replays them bit-for-bit).
+  */
+case class CmCells(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "cm_cells"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("r", IntegerType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cmCells(input.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expr.TextKernels.cmCells($x, $depth, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** word_shingles(toks) ≡ transform(sequence(1, greatest(size(toks) - 2,
   * 1)), i => concat_ws(" ", slice(toks, i, 3))) — the 3-token shingle
   * array of [[graft.functions.DedupOps.shingledOf]], WITHOUT any width
@@ -391,6 +422,30 @@ object TextKernels {
       i += 1
     }
     false
+  }
+
+  def cmCells(term: UTF8String, depth: Int, width: Int): ArrayData = {
+    val md = md5Local.get()
+    val termBytes = term.getBytes
+    val out = new Array[Any](depth)
+    var r = 0
+    while (r < depth) {
+      md.reset()
+      // "r:" prefix exactly as the composed concat(lit(s"$r:"), term):
+      // single-digit depths (production 4) are one ASCII byte + ':'
+      val prefix = java.lang.Integer.toString(r)
+      md.update(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(':'.toByte)
+      md.update(termBytes)
+      val d = md.digest()
+      // unsigned big-endian int of the first 4 digest bytes == conv(first
+      // 8 hex chars, 16, 10); nonneg, so % matches the composed long %
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      out(r) = new GenericInternalRow(Array[Any](r, v % width))
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   def repStats(arr: ArrayData): InternalRow = {

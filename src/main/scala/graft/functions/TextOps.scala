@@ -299,7 +299,10 @@ object TextOps extends QueryPack {
     * md5("r:term")[0:8] mod width. md5-derived like [[DedupOps.simhashSig]]
     * so the DuckDB oracle replays every cell bit-for-bit.
     */
-  private def cmBuckets(term: Column): Column =
+  // COMPOSED REFERENCE FORM for the `cm_cells` kernel (TextKernelsSpec
+  // pins equality); production uses the kernel — this form materializes a
+  // 32-char hex string and base-16-parses 8 chars per (token × row)
+  private[graft] def cmBuckets(term: Column): Column =
     array((0 until CmDepth).map { r =>
       struct(lit(r).as("r"),
         (conv(substring(md5(concat(lit(s"$r:"), term)), 1, 8), 16, 10)
@@ -321,18 +324,23 @@ object TextOps extends QueryPack {
     */
   def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // fan out: 4 md5 hashes per token (cmBuckets) measured ~1.5 s fused
-    // into ONE scan task at sf0.1 (Fanout scaladoc; guide §2.5); cell
-    // counts are order-insensitive so the fan-out is result-transparent
+    graft.plans.GraftFunctions.register(spark)
+    // cm_cells kernel ≡ cmBuckets (TextKernelsSpec): digest bytes read
+    // directly instead of hex-string materialization + conv re-parse per
+    // (token × row); the md5 cells themselves are the declared result.
+    // fan out: 4 md5 digests per token still dominate — measured and kept
+    // (Fanout scaladoc; guide §2.5); cell counts are order-insensitive so
+    // the fan-out is result-transparent
+    val cmCells = call_function("cm_cells", $"term", lit(CmDepth), lit(CmWidth))
     val toks = graft.core.Fanout.maybeFanout(Tables.documents(spark, dir), $"doc_id")
       .select(explode(cleanToks).as("term"))
     val cells = toks
-      .select(explode(cmBuckets($"term")).as("rc"))
+      .select(explode(cmCells).as("rc"))
       .groupBy($"rc.r".as("r"), $"rc.c".as("c"))
       .agg(count(lit(1)).as("cnt"))
     val exact = toks.groupBy($"term").agg(count(lit(1)).as("exact"))
     exact
-      .select($"term", $"exact", explode(cmBuckets($"term")).as("rc"))
+      .select($"term", $"exact", explode(cmCells).as("rc"))
       .select($"term", $"exact", $"rc.r".as("r"), $"rc.c".as("c"))
       .join(broadcast(cells), Seq("r", "c"))
       .groupBy($"term", $"exact")

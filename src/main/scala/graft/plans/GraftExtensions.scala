@@ -196,6 +196,18 @@ object GraftFunctions {
         graft.expr.CountCpRange(args.head,
           intLit(args(1), "lo"), intLit(args(2), "hi"))
       }),
+    (FunctionIdentifier("cm_cells"),
+      new ExpressionInfo(classOf[graft.expr.CmCells].getName, "cm_cells"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cm_cells takes (term, depth-literal, width-literal)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"cm_cells: $what must be an integer literal, got $other")
+        }
+        graft.expr.CmCells(args.head,
+          intLit(args(1), "depth"), intLit(args(2), "width"))
+      }),
     (FunctionIdentifier("min_md5_shingle"),
       new ExpressionInfo(classOf[graft.expr.MinMd5Shingle].getName, "min_md5_shingle"),
       (args: Seq[Expression]) => {

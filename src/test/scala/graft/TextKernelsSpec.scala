@@ -169,6 +169,28 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("cm_cells equals the composed count-min bucket family on fixtures and edge terms") {
+    val fixture = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("id"), explode(
+        array_remove(split(lower($"text"), "\\s+"), "")).as("term"))
+      .limit(2000)
+    val adversarial = Seq((1L, ""), (2L, "a"), (3L, "漢字"), (4L, "sp ace"),
+      (5L, "0:prefixed"), (6L, "x" * 100)).toDF("id", "term")
+    for (df <- Seq(fixture, adversarial)) {
+      val c = df.select($"id", $"term",
+        graft.functions.TextOps.cmBuckets($"term").as("rc")).orderBy($"id", $"term").collect()
+      val k = df.select($"id", $"term",
+        call_function("cm_cells", $"term",
+          lit(graft.functions.TextOps.CmDepth),
+          lit(graft.functions.TextOps.CmWidth)).as("rc"))
+        .orderBy($"id", $"term").collect()
+      c.zip(k).foreach { case (cr, kr) =>
+        assert(cr.getSeq[org.apache.spark.sql.Row](2) === kr.getSeq[org.apache.spark.sql.Row](2),
+          s"cm_cells mismatch for term '${cr.get(1)}'")
+      }
+    }
+  }
+
   test("kernels run inside whole-stage codegen (no CodegenFallback in the scan stage)") {
     // the production tokenizer shape: array_remove, NOT filter(_ =!= "") —
     // a lambda HOF is CodegenFallback and kicks the whole project out of
