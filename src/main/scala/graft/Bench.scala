@@ -441,11 +441,19 @@ object Bench {
     // (fragmentation), where allocation failure still leaves no half-state.
     val rt = Runtime.getRuntime
     val membwBytes = MembwLongs.toLong * 8
-    val headroom = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+    val needed = membwBytes + (membwBytes >> 2)
+    def headroom(): Long = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+    // instantaneous occupancy right after the measured passes is mostly
+    // COLLECTIBLE garbage plus checkpoint blocks awaiting the async
+    // ContextCleaner (review r22 #1) — a raw read would spuriously skip a
+    // calibration the old allocate-and-let-GC-run behavior completed.
+    // Only if a full-GC hint still leaves less than the array + 25% slack
+    // is the skip real.
+    val enough = headroom() >= needed || { System.gc(); headroom() >= needed }
     val (membw, membwMt) =
-      if (headroom < membwBytes + (membwBytes >> 2)) {
+      if (!enough) {
         System.err.println(s"[bench] membw calib skipped: heap headroom " +
-          s"$headroom B < ${membwBytes + (membwBytes >> 2)} B needed")
+          s"${headroom()} B < $needed B needed even after a GC hint")
         (-1.0, -1.0)
       }
       else try calibMembw(MembwLongs, calibMtThreads)

@@ -234,12 +234,22 @@ case class CmCells(child: Expression, depth: Int, width: Int)
     StructField("c", LongType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    TextKernels.cmCells(input.asInstanceOf[UTF8String], depth, width)
+  // "r:" prefix bytes per row, computed once per expression instance —
+  // Integer.toString + getBytes inside the per-term loop would be 2×depth
+  // allocations per token occurrence on the exact hot path this kernel
+  // de-allocates (review r22 #4)
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(r =>
+      (r.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cmCells(input.asInstanceOf[UTF8String], prefixes, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("cmPrefixes", prefixes, "byte[][]")
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.expr.TextKernels.cmCells($x, $depth, $width);")
+      s"${ev.value} = graft.expr.TextKernels.cmCells($x, $pRef, $width);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -424,18 +434,17 @@ object TextKernels {
     false
   }
 
-  def cmCells(term: UTF8String, depth: Int, width: Int): ArrayData = {
+  def cmCells(term: UTF8String, prefixes: Array[Array[Byte]], width: Int): ArrayData = {
     val md = md5Local.get()
     val termBytes = term.getBytes
+    val depth = prefixes.length
     val out = new Array[Any](depth)
     var r = 0
     while (r < depth) {
       md.reset()
-      // "r:" prefix exactly as the composed concat(lit(s"$r:"), term):
-      // single-digit depths (production 4) are one ASCII byte + ':'
-      val prefix = java.lang.Integer.toString(r)
-      md.update(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.update(':'.toByte)
+      // "r:" prefix exactly as the composed concat(lit(s"$r:"), term),
+      // precomputed once per expression instance
+      md.update(prefixes(r))
       md.update(termBytes)
       val d = md.digest()
       // unsigned big-endian int of the first 4 digest bytes == conv(first

@@ -303,13 +303,24 @@ object EventStreams {
     val prior = spark.conf.getOption(checksumConf)
     spark.conf.set(checksumConf,
       spark.conf.get("graft.stream.checkpoint.checksum", "false"))
-    val q = try {
-      val started = streamed.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      started.awaitTermination()
-      started
+    try {
+      var started: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        started = streamed.writeStream
+          .format("memory").queryName(name).outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+      } catch { case e: Throwable =>
+        // a mid-run failure must not leak the uniquely-named sink view (or
+        // a still-registered query) per invocation — the unbounded catalog
+        // growth the dropTempView below exists to prevent (review r22 #3)
+        if (started != null)
+          try started.stop() catch { case scala.util.control.NonFatal(_) => () }
+        try spark.catalog.dropTempView(name)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
     } finally prior match {
       // restore so a caller-set value survives this helper (the same
       // save/restore discipline as profile-stages' graft.sim.exact)

@@ -41,7 +41,10 @@ object StreamProbe {
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the async listener bus drain
+      // deterministic drain, not a sleep (review r22 #2): a loaded bus can
+      // hold a backlog past any fixed wait and silently drop stage lines
+      // from the A/B output — same rule as profile-stages
+      BusDrain.drain(spark)
       spark.sparkContext.removeSparkListener(listener)
       println(f"STREAM $name checksum=$checksum wall=$wall%.3fs")
       import scala.jdk.CollectionConverters._
